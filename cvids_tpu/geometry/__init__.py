@@ -1,0 +1,3 @@
+from .rotations import *  # noqa: F401,F403
+from .se3 import *  # noqa: F401,F403
+from . import fourdof  # noqa: F401

@@ -1,0 +1,281 @@
+"""Sliding-window visual-inertial bundle adjustment, JAX-native.
+
+The reference relies on an external VINS-Mono-class agent estimator
+(SURVEY.md layer A — contract only); this module supplies it, re-designed for
+TPU: fixed-capacity state arrays with validity masks (jit-stable shapes), the
+whole factor graph evaluated as one batched residual function, Jacobians by
+autodiff, and a damped Gauss-Newton (LM) loop as a `lax.scan` with
+`where`-selected accept/reject — no data-dependent control flow.
+
+States per keyframe: p, q, v, bg, ba (15 DoF on-manifold); landmarks are 3-D
+world points. Factors: masked reprojection (Huber), IMU preintegration
+(`imu.imu_residual`), optional linearized prior (from marginalization), and
+weak anchors that pin the gauge (first pose + yaw).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..geometry import quat_multiply, quat_normalize, quat_rotate, quat_inverse, so3_exp, quat_to_matrix
+from .imu import Preintegrated, imu_residual
+
+__all__ = ["WindowState", "WindowMeasurements", "PriorFactor", "solve_window",
+           "triangulate", "reprojection_residuals", "marginalize_prior"]
+
+
+class WindowState(NamedTuple):
+    p: jax.Array    # (K, 3)
+    q: jax.Array    # (K, 4)
+    v: jax.Array    # (K, 3)
+    bg: jax.Array   # (K, 3)
+    ba: jax.Array   # (K, 3)
+    lm: jax.Array   # (L, 3) world landmarks
+    kf_valid: jax.Array  # (K,) bool
+    lm_valid: jax.Array  # (L,) bool
+
+
+class PriorFactor(NamedTuple):
+    """Linearized prior: r(dx) = j @ dx + r0, dx = state ⊖ x_lin (tangent)."""
+
+    j: jax.Array    # (P, D) sqrt-information Jacobian over the tangent vector
+    r0: jax.Array   # (P,)
+    # linearization point (same layout as WindowState state fields)
+    p: jax.Array
+    q: jax.Array
+    v: jax.Array
+    bg: jax.Array
+    ba: jax.Array
+    lm: jax.Array
+
+
+class WindowMeasurements(NamedTuple):
+    obs: jax.Array       # (K, L, 2) normalized camera coords
+    vis: jax.Array       # (K, L) bool
+    pre: Preintegrated   # stacked (K-1, ...) preintegrated IMU factors
+    pre_valid: jax.Array  # (K-1,) bool
+    r_cb: jax.Array      # (3, 3) body->camera rotation (x_cam = R_cb x_body)
+    p_bc: jax.Array      # (3,) camera origin in body frame
+    pix_weight: float    # 1 / sigma of normalized-coordinate noise
+    huber_delta: float   # Huber threshold on the *whitened* residual norm
+    bias_weight: float   # whitening for the bias random-walk residual
+    prior: PriorFactor | None
+    anchor_p: jax.Array  # (3,) gauge: pin p[0] here
+    anchor_yaw: jax.Array  # () gauge: pin yaw of q[0] here
+
+
+def _delta_zero(state: WindowState):
+    k = state.p.shape[0]
+    l = state.lm.shape[0]
+    z = jnp.zeros
+    dt = state.p.dtype
+    return dict(dp=z((k, 3), dt), dth=z((k, 3), dt), dv=z((k, 3), dt),
+                dbg=z((k, 3), dt), dba=z((k, 3), dt), dlm=z((l, 3), dt))
+
+
+def retract(state: WindowState, delta: dict) -> WindowState:
+    """Apply a tangent update: q' = q ⊗ Exp(dθ), everything else additive."""
+    return state._replace(
+        p=state.p + delta["dp"],
+        q=quat_normalize(quat_multiply(state.q, so3_exp(delta["dth"]))),
+        v=state.v + delta["dv"],
+        bg=state.bg + delta["dbg"],
+        ba=state.ba + delta["dba"],
+        lm=state.lm + delta["dlm"],
+    )
+
+
+def local_diff(state: WindowState, ref_p, ref_q, ref_v, ref_bg, ref_ba, ref_lm):
+    """state ⊖ reference as a flat tangent (matches `retract` layout)."""
+    from ..geometry import so3_log
+    dq = jax.vmap(lambda a, b: so3_log(quat_multiply(quat_inverse(b), a)))(state.q, ref_q)
+    delta = dict(dp=state.p - ref_p, dth=dq, dv=state.v - ref_v,
+                 dbg=state.bg - ref_bg, dba=state.ba - ref_ba,
+                 dlm=state.lm - ref_lm)
+    flat, _ = ravel_pytree(delta)
+    return flat
+
+
+def reprojection_residuals(state: WindowState, meas: WindowMeasurements) -> jax.Array:
+    """Whitened, Huber-scaled reprojection residuals, shape (K, L, 2)."""
+    # x_cam = R_cb^T? — convention: x_cam = r_cb @ (R_wb^T (lm - p) - p_bc)
+    pts_b = jnp.einsum(
+        "kij,klj->kli", jax.vmap(lambda q: quat_to_matrix(quat_inverse(q)))(state.q),
+        state.lm[None, :, :] - state.p[:, None, :])
+    pts_c = jnp.einsum("ij,klj->kli", meas.r_cb, pts_b - meas.p_bc[None, None, :])
+    z = pts_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    proj = pts_c[..., :2] / safe_z[..., None]
+    valid = meas.vis & (z > 0.05) & state.kf_valid[:, None] & state.lm_valid[None, :]
+    r = (proj - jnp.nan_to_num(meas.obs)) * meas.pix_weight
+    # Huber: scale residual by sqrt(w), w = min(1, delta/||r||)
+    rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    w = jnp.sqrt(jnp.minimum(1.0, meas.huber_delta / jnp.maximum(rn, 1e-9)))
+    return jnp.where(valid[..., None], r * w, 0.0)
+
+
+def _all_residuals(state: WindowState, meas: WindowMeasurements,
+                   anchor_weight: float = 1e3) -> jax.Array:
+    r_proj = reprojection_residuals(state, meas).reshape(-1)
+
+    # IMU factors between consecutive keyframes
+    def one(i):
+        pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
+        r = imu_residual(pre_i,
+                         state.p[i], state.q[i], state.v[i], state.bg[i], state.ba[i],
+                         state.p[i + 1], state.q[i + 1], state.v[i + 1],
+                         state.bg[i + 1], state.ba[i + 1],
+                         weight_bias=meas.bias_weight)
+        ok = meas.pre_valid[i] & state.kf_valid[i] & state.kf_valid[i + 1]
+        return jnp.where(ok, r, 0.0)
+
+    k = state.p.shape[0]
+    r_imu = jax.vmap(one)(jnp.arange(k - 1)).reshape(-1)
+
+    # gauge anchors: position + yaw of the first keyframe are unobservable
+    # (pitch/roll are observable from gravity), so pin them to their initial
+    # values — the standard VI gauge fixing.
+    from ..geometry import wrap_angle, yaw_of
+    r_anchor = jnp.concatenate([
+        (state.p[0] - meas.anchor_p) * anchor_weight,
+        wrap_angle(yaw_of(state.q[0]) - meas.anchor_yaw)[None] * anchor_weight,
+    ])
+
+    parts = [r_proj, r_imu, r_anchor]
+    if meas.prior is not None:
+        dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
+                        meas.prior.bg, meas.prior.ba, meas.prior.lm)
+        parts.append(meas.prior.j @ dx + meas.prior.r0)
+    return jnp.concatenate(parts)
+
+
+def solve_window(state: WindowState, meas: WindowMeasurements,
+                 iters: int = 8, init_lambda: float = 1e-3,
+                 anchor_weight: float = 1e3) -> tuple[WindowState, jax.Array]:
+    """Damped Gauss-Newton (LM) with fixed iteration count.
+
+    Mirrors the role of the agent's 8-iteration / 0.04 s solver budget
+    (`config/euroc/euroc_config.yaml:54-55`). Returns (state, final cost).
+    """
+    delta0 = _delta_zero(state)
+    flat0, unravel = ravel_pytree(delta0)
+    n_params = flat0.shape[0]
+
+    def res_at(st):
+        return _all_residuals(st, meas, anchor_weight)
+
+    def lm_step(carry, _):
+        st, lam, cost = carry
+
+        def res_of_dx(dx):
+            return res_at(retract(st, unravel(dx)))
+
+        r0 = res_of_dx(flat0)
+        jmat = jax.jacfwd(res_of_dx)(flat0)  # (R, P)
+        h = jmat.T @ jmat
+        g = jmat.T @ r0
+        diag = jnp.diag(h)
+        h_damped = h + jnp.diag(lam * (diag + 1e-6))
+        # Jacobi equilibration: float32 Cholesky needs the ~1e6 dynamic range
+        # between anchor/pixel and bias blocks squeezed out.
+        d = 1.0 / jnp.sqrt(jnp.diag(h_damped) + 1e-12)
+        h_eq = h_damped * d[:, None] * d[None, :]
+        dx = d * jax.scipy.linalg.solve(h_eq, -(g * d), assume_a="pos")
+        st_new = retract(st, unravel(dx))
+        cost_new = 0.5 * jnp.sum(res_at(st_new) ** 2)
+        accept = cost_new < cost
+        # Nielsen's gain-ratio damping: shrink lambda by how well the
+        # quadratic model predicted the reduction; grow on rejection.
+        pred = -(g @ dx) - 0.5 * (dx @ (h @ dx))
+        rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        st_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), st_new, st)
+        lam_out = jnp.where(accept, jnp.maximum(lam * shrink, 1e-10),
+                            jnp.minimum(lam * 4.0, 1e8))
+        cost_out = jnp.where(accept, cost_new, cost)
+        return (st_out, lam_out, cost_out), cost_out
+
+    cost0 = 0.5 * jnp.sum(res_at(state) ** 2)
+    (state_f, _, cost_f), _ = jax.lax.scan(
+        lm_step, (state, jnp.asarray(init_lambda, state.p.dtype), cost0),
+        None, length=iters)
+    return state_f, cost_f
+
+
+def triangulate(p_w: jax.Array, q_w: jax.Array, obs: jax.Array, vis: jax.Array,
+                r_cb: jax.Array, p_bc: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Linear multi-view triangulation of one landmark.
+
+    p_w (K,3), q_w (K,4): body poses; obs (K,2) normalized coords; vis (K,).
+    Returns (point (3,), ok). DLT over all observing views: for each view,
+    rows [u * P_3 - P_1; v * P_3 - P_2] with P = [R_cw | t_cw].
+    """
+    r_wb = quat_to_matrix(q_w)                      # (K,3,3)
+    r_cw = jnp.einsum("ij,kjl->kil", r_cb, r_wb.transpose(0, 2, 1))
+    t_cw = -jnp.einsum("kij,kj->ki", r_cw, p_w) - (r_cb @ p_bc)[None]
+    # P rows
+    p1 = jnp.concatenate([r_cw[:, 0], t_cw[:, 0:1]], axis=1)  # (K,4)
+    p2 = jnp.concatenate([r_cw[:, 1], t_cw[:, 1:2]], axis=1)
+    p3 = jnp.concatenate([r_cw[:, 2], t_cw[:, 2:3]], axis=1)
+    u, v = obs[:, 0], obs[:, 1]
+    rows = jnp.concatenate([
+        (u[:, None] * p3 - p1) * vis[:, None],
+        (v[:, None] * p3 - p2) * vis[:, None],
+    ], axis=0)  # (2K, 4)
+    ata = rows.T @ rows
+    w, vecs = jnp.linalg.eigh(ata)
+    x = vecs[:, 0]
+    ok = (jnp.abs(x[3]) > 1e-9) & (jnp.sum(vis) >= 2)
+    pt = x[:3] / jnp.where(jnp.abs(x[3]) > 1e-9, x[3], 1e-9)
+    return pt, ok
+
+
+def marginalize_prior(state: WindowState, meas: WindowMeasurements,
+                      marg_mask_flat: jax.Array,
+                      anchor_weight: float = 1e3,
+                      eig_floor: float = 1e-8) -> tuple[jax.Array, jax.Array]:
+    """Schur-marginalize a subset of tangent variables, returning a dense
+    sqrt-information prior (j, r0) over the FULL tangent layout (marginalized
+    columns are zero). The caller pairs this with the current state as the
+    linearization point.
+
+    marg_mask_flat: (P,) bool over the flat tangent (True = marginalize).
+    Fixed-shape formulation: instead of slicing variable-size blocks, the kept
+    block is H_kk - H_km H_mm^{-1} H_mk computed with masked matrices.
+    """
+    delta0 = _delta_zero(state)
+    flat0, unravel = ravel_pytree(delta0)
+
+    def res_of_dx(dx):
+        return _all_residuals(retract(state, unravel(dx)), meas, anchor_weight)
+
+    r0 = res_of_dx(flat0)
+    jmat = jax.jacfwd(res_of_dx)(flat0)
+    h = jmat.T @ jmat
+    g = jmat.T @ r0
+    m = marg_mask_flat
+    keep = ~m
+    # masked Schur: H_mm restricted (identity on kept rows to stay invertible)
+    h_mm = jnp.where(m[:, None] & m[None, :], h, jnp.eye(h.shape[0], dtype=h.dtype))
+    h_km = jnp.where(keep[:, None] & m[None, :], h, 0.0)
+    h_kk = jnp.where(keep[:, None] & keep[None, :], h, 0.0)
+    g_m = jnp.where(m, g, 0.0)
+    g_k = jnp.where(keep, g, 0.0)
+    sol = jnp.linalg.solve(h_mm, jnp.concatenate([h_km.T, g_m[:, None]], axis=1))
+    h_new = h_kk - h_km @ sol[:, :-1]
+    g_new = g_k - h_km @ sol[:, -1]
+    # sqrt factorization with eigenvalue flooring
+    w, v = jnp.linalg.eigh(0.5 * (h_new + h_new.T))
+    w_c = jnp.maximum(w, 0.0)
+    sqrt_w = jnp.sqrt(w_c)
+    j_prior = (v * sqrt_w[None, :]) @ v.T
+    # r0 such that J dx + r0 reproduces gradient: r0 = J^{-+} g_new
+    inv_sqrt = jnp.where(sqrt_w > eig_floor, 1.0 / jnp.maximum(sqrt_w, eig_floor), 0.0)
+    r0_prior = (v * inv_sqrt[None, :]) @ (v.T @ g_new)
+    return j_prior, r0_prior

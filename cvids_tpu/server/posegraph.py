@@ -1,0 +1,491 @@
+"""Collaborative multi-agent pose graph — the server core.
+
+Re-design of the reference's `ServerPoseGraph`
+(`/root/reference/server_pose_graph/src/server_pose_graph.cpp:307-1815`) as a
+host-side state machine over flat arrays, with every compute-heavy step a
+jitted kernel:
+
+- keyframe ingestion -> world-pose bookkeeping with per-client submap
+  transforms + drift (yaw-only semantics, `server_pose_graph.cpp:242-304`)
+- loop detection: BoW query with inter/intra thresholds and recent-frame
+  exclusion (`:971-1062`)
+- geometric verification: batched Hamming matching + PnP-RANSAC and the
+  40°/40 m acceptance gates (`server_keyframe.cpp:501-718`)
+- submap alignment on first inter-agent loop (`AlignSubMaps`, `:40-110`)
+- PCM outlier rejection per client pair (`pcm_graph.cpp`)
+- periodic 4-DoF optimization + drift propagation (`:1107-1815`)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import (
+    Pose,
+    between,
+    compose,
+    inverse,
+    matrix_to_quat,
+    quat_to_matrix,
+    r_to_ypr,
+    rot_z,
+    wrap_angle,
+)
+from ..io.msgs import KeyframePacket
+from ..ops import hamming, ransac
+from . import optimizer as opt
+from . import pcm as pcm_mod
+from . import vocab as vocab_mod
+from .keyframe import KeyframeStore
+
+__all__ = ["ServerConfig", "CollaborativePoseGraph"]
+
+MAX_CLIENTS = 10  # reference path-array bound (`server_pose_graph.h:154`)
+
+
+@dataclass
+class ServerConfig:
+    kf_capacity: int = 2048
+    max_win: int = 160
+    max_ext: int = 512
+    max_loops: int = 512
+    # loop gates (reference values)
+    bow_thresh_inter: float = 0.003   # `server_pose_graph.cpp:996`
+    bow_thresh_intra: float = 0.005
+    exclude_recent: int = 10
+    min_gap: int = 10                 # frame-index gap before a loop counts
+    min_loop_matches: int = 15        # MIN_LOOP_NUM (`server_keyframe.h:24`)
+    max_loop_yaw_deg: float = 40.0    # `server_keyframe.cpp:692`
+    max_loop_t: float = 40.0
+    pnp_thresh: float = 10.0 / 460.0
+    # optimizer
+    loop_t_weight: float = 1.0
+    loop_yaw_weight: float = 0.1      # reference: yaw error /10
+    loop_huber: float = 0.1
+    seq_back: int = 6
+    lm_iters: int = 12
+    cg_iters: int = 60
+    optimize_every: int = 20          # keyframes between solves (vs 5 s timer)
+    # PCM
+    pcm_min_edges: int = 20
+    pcm_gamma: float = 5.0
+    pcm_sigma_t: float = 0.1
+    pcm_sigma_yaw: float = 0.05
+
+
+@dataclass
+class _ClientState:
+    registered: bool = False
+    aligned: bool = False
+    yaw_wl: float = 0.0
+    t_wl: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    yaw_drift: float = 0.0
+    t_drift: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    kf_count: int = 0
+    r_cb: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    p_bc: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+
+
+def _yaw_of_quat_np(q):
+    m = np.asarray(quat_to_matrix(jnp.asarray(q, jnp.float32)))
+    return float(np.arctan2(m[1, 0], m[0, 0]))
+
+
+@jax.jit
+def _match_and_pnp(win_desc, win_valid, win_pts_camj, ext_desc, ext_valid,
+                   ext_uv, key, pnp_thresh, min_inliers):
+    """Loop verification kernel: descriptor match + PnP in one jit.
+
+    win_*: the NEW keyframe's window features with 3-D points expressed in its
+    own camera frame; ext_*: the OLD keyframe's full-image 2-D features. The
+    recovered pose is T_cam_old <- cam_new.
+    """
+    m = hamming.match_descriptors(win_desc, ext_desc, win_valid, ext_valid)
+    obs = ext_uv[m.indices]
+    res = ransac.pnp_ransac(win_pts_camj, obs, m.valid, key,
+                            inlier_thresh=pnp_thresh,
+                            min_inliers=min_inliers)
+    return res, m
+
+
+class CollaborativePoseGraph:
+    def __init__(self, voc: vocab_mod.Vocabulary, config: ServerConfig | None = None):
+        self.cfg = config or ServerConfig()
+        self.voc = voc
+        self.store = KeyframeStore(self.cfg.kf_capacity, self.cfg.max_win,
+                                   self.cfg.max_ext)
+        self.db = vocab_mod.BowDatabase(voc, self.cfg.kf_capacity)
+        self.clients = [_ClientState() for _ in range(MAX_CLIENTS)]
+        self.world_client = -1  # first registered client defines the world
+        # loop edges (fixed capacity)
+        L = self.cfg.max_loops
+        self.loop_i = np.zeros(L, np.int32)
+        self.loop_j = np.zeros(L, np.int32)
+        self.loop_t = np.zeros((L, 3), np.float32)
+        self.loop_yaw = np.zeros(L, np.float32)
+        self.loop_inter = np.zeros(L, bool)
+        self.loop_valid = np.zeros(L, bool)
+        self.loop_pcm_ok = np.zeros(L, bool)
+        self.loop_count = 0
+        self._since_optimize = 0
+        self._rng_key = jax.random.PRNGKey(0)
+        self.last_loop: dict | None = None
+
+    # ---------- client / submap management ----------
+
+    def register_client(self, cid: int, r_cb=None, p_bc=None):
+        """First client becomes the world frame (aligned, identity transform);
+        mirrors `RegisterClient` (`server_pose_graph.cpp:283-304`)."""
+        c = self.clients[cid]
+        if c.registered:
+            return
+        c.registered = True
+        if r_cb is not None:
+            c.r_cb = np.asarray(r_cb, np.float32)
+        if p_bc is not None:
+            c.p_bc = np.asarray(p_bc, np.float32)
+        if self.world_client < 0:
+            self.world_client = cid
+            c.aligned = True
+
+    def _local_to_world(self, cid: int, p: np.ndarray, q: np.ndarray):
+        """Apply submap transform then drift (both yaw-only + translation)."""
+        c = self.clients[cid]
+        rz = np.asarray(rot_z(jnp.asarray(c.yaw_wl, jnp.float32)))
+        p_w = rz @ np.asarray(p, np.float32) + c.t_wl
+        yaw_l = _yaw_of_quat_np(q)
+        ypr = np.asarray(r_to_ypr(jnp.asarray(quat_to_matrix(jnp.asarray(q, jnp.float32)))))
+        yaw_w = yaw_l + c.yaw_wl
+        # drift
+        rzd = np.asarray(rot_z(jnp.asarray(c.yaw_drift, jnp.float32)))
+        p_w = rzd @ p_w + c.t_drift
+        yaw_w = yaw_w + c.yaw_drift
+        return p_w.astype(np.float32), float(yaw_w), np.asarray(ypr[1:], np.float32)
+
+    # ---------- ingestion ----------
+
+    def add_keyframe(self, pkt: KeyframePacket) -> dict:
+        cfg = self.cfg
+        cid = pkt.client_id
+        self.register_client(cid, pkt.r_cb, pkt.p_bc)
+        c = self.clients[cid]
+        idx = self.store.add(pkt, c.kf_count)
+        c.kf_count += 1
+
+        p_w, yaw_w, pr_w = self._local_to_world(cid, pkt.p_wb, pkt.q_wb)
+        self.store.world_p[idx] = p_w
+        self.store.world_yaw[idx] = yaw_w
+        self.store.world_pr[idx] = pr_w
+
+        # BoW add + query
+        vec = np.asarray(vocab_mod.bow_vector(
+            self.voc, jnp.asarray(self.store.ext_desc[idx]),
+            jnp.asarray(self.store.ext_valid[idx])))
+        cand_idx, cand_score = self.db.query(vec, cid, cfg.exclude_recent)
+        self.db.add(vec, cid)
+
+        info = {"index": idx, "loop": False, "aligned_event": False}
+        old = self._select_loop_candidate(idx, cid, cand_idx, cand_score)
+        if old is not None:
+            edge = self._find_connection(idx, old)
+            if edge is not None:
+                info["loop"] = True
+                info["loop_with"] = old
+                inter = self.store.client[old] != cid
+                aligned_new = self.clients[cid].aligned
+                aligned_old = self.clients[self.store.client[old]].aligned
+                if inter and aligned_old and not aligned_new:
+                    self._align_submap(cid, old, idx, edge, flip=False)
+                    info["aligned_event"] = True
+                elif inter and aligned_new and not aligned_old:
+                    self._align_submap(int(self.store.client[old]), old, idx,
+                                       edge, flip=True)
+                    info["aligned_event"] = True
+                self._record_loop(old, idx, edge, bool(inter))
+
+        self._since_optimize += 1
+        if self._since_optimize >= cfg.optimize_every and self.loop_count > 0:
+            self.optimize()
+            self._since_optimize = 0
+        return info
+
+    def _select_loop_candidate(self, idx, cid, cand_idx, cand_score):
+        """Reference gates: score threshold (inter vs intra), min frame gap,
+        oldest qualifying candidate (`server_pose_graph.cpp:971-1062`)."""
+        cfg = self.cfg
+        best = None
+        for k, s in zip(cand_idx, cand_score):
+            if s <= 0:
+                continue
+            k = int(k)
+            ocid = int(self.store.client[k])
+            thresh = cfg.bow_thresh_intra if ocid == cid else cfg.bow_thresh_inter
+            if s < thresh:
+                continue
+            if ocid == cid and abs(int(self.store.local_index[idx])
+                                   - int(self.store.local_index[k])) < cfg.min_gap:
+                continue
+            if best is None or k < best:
+                best = k
+        return best
+
+    def _find_connection(self, j: int, i: int):
+        """Verify candidate loop (new j, old i). Returns dict with the
+        measured relative pose T_bi<-bj, or None."""
+        cfg = self.cfg
+        st = self.store
+        cj = self.clients[int(st.client[j])]
+        ci = self.clients[int(st.client[i])]
+        # window 3-D points of j, expressed in j's camera frame
+        pts_l = st.win_pts3d[j]
+        q_j = jnp.asarray(st.vio_q[j])
+        r_wb = np.asarray(quat_to_matrix(q_j))
+        pts_b = (pts_l - st.vio_p[j]) @ r_wb  # world->body (row-vector form)
+        pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
+
+        self._rng_key, key = jax.random.split(self._rng_key)
+        res, m = _match_and_pnp(
+            jnp.asarray(st.win_desc[j]), jnp.asarray(st.win_valid[j]),
+            jnp.asarray(pts_cam, jnp.float32),
+            jnp.asarray(st.ext_desc[i]), jnp.asarray(st.ext_valid[i]),
+            jnp.asarray(st.ext_uv[i]), key,
+            cfg.pnp_thresh, cfg.min_loop_matches)
+        if not bool(res.ok):
+            return None
+        # T_ci<-cj (camera frames) -> T_bi<-bj (body frames)
+        t_cicj = Pose(matrix_to_quat(res.r), res.t)
+        t_bc_i = Pose(matrix_to_quat(jnp.asarray(ci.r_cb.T)), jnp.asarray(ci.p_bc))
+        t_cb_j = inverse(Pose(matrix_to_quat(jnp.asarray(cj.r_cb.T)), jnp.asarray(cj.p_bc)))
+        t_bibj = compose(t_bc_i, compose(t_cicj, t_cb_j))
+        t_ij = np.asarray(t_bibj.t)
+        # relative yaw via decomposition of the relative rotation combined
+        # with world pitch/roll (reference: yaw difference of world poses)
+        r_bibj = np.asarray(quat_to_matrix(t_bibj.q))
+        # estimated world rotation of i = R_w_bj * R_bibj^T
+        ypr_j = np.array([st.world_yaw[j], st.world_pr[j, 0], st.world_pr[j, 1]])
+        from ..geometry import ypr_to_r as _ypr2r
+        r_w_bj = np.asarray(_ypr2r(jnp.asarray(ypr_j, jnp.float32)))
+        r_w_bi_est = r_w_bj @ r_bibj.T
+        yaw_i_est = float(np.arctan2(r_w_bi_est[1, 0], r_w_bi_est[0, 0]))
+        rel_yaw = wrap_angle(jnp.asarray(st.world_yaw[j] - yaw_i_est))
+        rel_yaw = float(rel_yaw)
+        # acceptance gates (`server_keyframe.cpp:692-715`) — only meaningful
+        # when both submaps live in the same world frame; in align mode the
+        # reference relaxes them (FindConnection's bAlign path)
+        both_aligned = (self.clients[int(st.client[j])].aligned
+                        and self.clients[int(st.client[i])].aligned)
+        if both_aligned and abs(np.rad2deg(rel_yaw)) > cfg.max_loop_yaw_deg:
+            return None
+        if np.linalg.norm(t_ij) > cfg.max_loop_t:
+            return None
+        self.last_loop = {"i": i, "j": j, "inliers": int(res.num_inliers)}
+        return {"t_ij": t_ij.astype(np.float32), "yaw_ij": rel_yaw,
+                "q_bibj": np.asarray(t_bibj.q), "num_inliers": int(res.num_inliers)}
+
+    # ---------- submap alignment ----------
+
+    def _align_submap(self, cid_unaligned: int, i: int, j: int, edge: dict,
+                      flip: bool):
+        """Yaw-only alignment of an unaligned client's submap
+        (`AlignSubMaps` + `UpdateSubMaps`, `server_pose_graph.cpp:40-280`).
+
+        flip=False: old KF i is aligned, new KF j belongs to the unaligned
+        client. flip=True: the reverse (new j aligned, old i unaligned).
+        """
+        st = self.store
+        t_bibj = Pose(jnp.asarray(edge["q_bibj"]), jnp.asarray(edge["t_ij"]))
+        if not flip:
+            anchor, target = i, j  # anchor aligned; target in unaligned client
+            rel = t_bibj
+        else:
+            anchor, target = j, i
+            rel = inverse(t_bibj)
+        from ..geometry import ypr_to_r as _ypr2r
+        ypr_a = jnp.asarray([st.world_yaw[anchor], st.world_pr[anchor, 0],
+                             st.world_pr[anchor, 1]], jnp.float32)
+        t_w_anchor = Pose(matrix_to_quat(_ypr2r(ypr_a)), jnp.asarray(st.world_p[anchor]))
+        t_w_target = compose(t_w_anchor, rel)
+        # target's local (VIO) pose
+        t_l_target = Pose(jnp.asarray(st.vio_q[target]), jnp.asarray(st.vio_p[target]))
+        yaw_w = _yaw_of_quat_np(np.asarray(t_w_target.q))
+        yaw_l = _yaw_of_quat_np(st.vio_q[target])
+        yaw_wl = float(wrap_angle(jnp.asarray(yaw_w - yaw_l)))
+        rz = np.asarray(rot_z(jnp.asarray(yaw_wl, jnp.float32)))
+        t_wl = np.asarray(t_w_target.t) - rz @ st.vio_p[target]
+
+        c = self.clients[cid_unaligned]
+        c.yaw_wl = yaw_wl
+        c.t_wl = t_wl.astype(np.float32)
+        c.yaw_drift = 0.0
+        c.t_drift = np.zeros(3, np.float32)
+        c.aligned = True
+        # rewrite world poses of every KF of this client
+        sel = (st.client == cid_unaligned) & st.valid
+        idxs = np.nonzero(sel)[0]
+        for k in idxs:
+            p_w, yaw_w2, pr_w = self._local_to_world(cid_unaligned, st.vio_p[k],
+                                                     st.vio_q[k])
+            st.world_p[k] = p_w
+            st.world_yaw[k] = yaw_w2
+            st.world_pr[k] = pr_w
+
+    def _record_loop(self, i, j, edge, inter):
+        if self.loop_count >= self.cfg.max_loops:
+            return
+        st = self.store
+        # recompute the yaw measurement from the *current* world state (it may
+        # have just changed in _align_submap) so edge and nodes agree
+        from ..geometry import ypr_to_r as _ypr2r
+        r_bibj = np.asarray(quat_to_matrix(jnp.asarray(edge["q_bibj"], jnp.float32)))
+        ypr_j = jnp.asarray([st.world_yaw[j], st.world_pr[j, 0], st.world_pr[j, 1]],
+                            jnp.float32)
+        r_w_bj = np.asarray(_ypr2r(ypr_j))
+        r_w_bi_est = r_w_bj @ r_bibj.T
+        yaw_i_est = float(np.arctan2(r_w_bi_est[1, 0], r_w_bi_est[0, 0]))
+        yaw_ij = float(wrap_angle(jnp.asarray(st.world_yaw[j] - yaw_i_est)))
+        k = self.loop_count
+        self.loop_i[k] = i
+        self.loop_j[k] = j
+        self.loop_t[k] = edge["t_ij"]
+        self.loop_yaw[k] = yaw_ij
+        self.loop_inter[k] = inter
+        self.loop_valid[k] = True
+        self.loop_pcm_ok[k] = True
+        self.loop_count += 1
+
+    # ---------- PCM + optimization ----------
+
+    def _run_pcm(self):
+        """PCM per client pair on inter-agent edges (`pcm_graph.cpp:56-305`)."""
+        cfg = self.cfg
+        st = self.store
+        n = self.loop_count
+        if n == 0:
+            return
+        li, lj = self.loop_i[:n], self.loop_j[:n]
+        pairs = {}
+        for e in range(n):
+            if not (self.loop_valid[e] and self.loop_inter[e]):
+                continue
+            a, b = int(st.client[li[e]]), int(st.client[lj[e]])
+            pairs.setdefault((min(a, b), max(a, b)), []).append(e)
+        for (_, _), es in pairs.items():
+            es = np.asarray(es)
+            if len(es) < cfg.pcm_min_edges:
+                continue
+            edge_T = pcm_mod.FourDof(
+                jnp.asarray(self.loop_yaw[es]),
+                jnp.asarray(self.loop_t[es]))
+            yaw_i = jnp.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in li[es]],
+                                jnp.float32)
+            yaw_j = jnp.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in lj[es]],
+                                jnp.float32)
+            pose_i = pcm_mod.FourDof(yaw_i, jnp.asarray(st.vio_p[li[es]]))
+            pose_j = pcm_mod.FourDof(yaw_j, jnp.asarray(st.vio_p[lj[es]]))
+            keep = pcm_mod.pcm_filter(edge_T, pose_i, pose_j,
+                                      np.ones(len(es), bool),
+                                      cfg.pcm_min_edges, cfg.pcm_sigma_t,
+                                      cfg.pcm_sigma_yaw, cfg.pcm_gamma)
+            self.loop_pcm_ok[es] = keep
+
+    def optimize(self):
+        """4-DoF solve over aligned keyframes + drift propagation
+        (`Optimize4DoF`, `server_pose_graph.cpp:1107-1815`)."""
+        cfg = self.cfg
+        st = self.store
+        n = st.count
+        if n < 2:
+            return
+        self._run_pcm()
+        aligned_mask = np.array([self.clients[int(c)].aligned if c >= 0 else False
+                                 for c in st.client[:n]])
+        valid = np.zeros(st.capacity, bool)
+        valid[:n] = aligned_mask
+        fixed = np.zeros(st.capacity, bool)
+        first_world = np.nonzero((st.client[:n] == self.world_client))[0]
+        if len(first_world):
+            fixed[first_world[0]] = True
+
+        # node init: current world estimates; measurements from VIO
+        vio_yaw = np.array([_yaw_of_quat_np(q) for q in st.vio_q[:n]], np.float32)
+        vio_pr = np.stack([np.asarray(r_to_ypr(jnp.asarray(
+            quat_to_matrix(jnp.asarray(q, jnp.float32)))))[1:] for q in st.vio_q[:n]])
+        pad = st.capacity - n
+        nodes = opt.PoseGraphNodes(
+            yaw=jnp.asarray(np.concatenate([st.world_yaw[:n], np.zeros(pad)]), jnp.float32),
+            pr=jnp.asarray(np.concatenate([st.world_pr[:n], np.zeros((pad, 2))]), jnp.float32),
+            t=jnp.asarray(np.concatenate([st.world_p[:n], np.zeros((pad, 3))]), jnp.float32),
+            valid=jnp.asarray(valid), fixed=jnp.asarray(fixed))
+
+        # sequential edges from VIO (invariant to submap transform)
+        vio_yaw_full = np.concatenate([vio_yaw, np.zeros(pad, np.float32)])
+        vio_pr_full = np.concatenate([vio_pr.astype(np.float32), np.zeros((pad, 2), np.float32)])
+        vio_t_full = np.concatenate([st.vio_p[:n], np.zeros((pad, 3), np.float32)])
+        seq = opt.make_sequential_edges(
+            jnp.asarray(vio_yaw_full), jnp.asarray(vio_pr_full),
+            jnp.asarray(vio_t_full),
+            jnp.asarray(np.concatenate([st.client[:n], np.full(pad, -2, np.int32)])),
+            jnp.asarray(valid), max_back=cfg.seq_back)
+
+        # loop edges (PCM-filtered)
+        L = cfg.max_loops
+        lt_w = np.full(L, cfg.loop_t_weight, np.float32)
+        ly_w = np.full(L, cfg.loop_yaw_weight, np.float32)
+        lv = self.loop_valid & self.loop_pcm_ok
+        loops = opt.PoseGraphEdges(
+            i=jnp.asarray(self.loop_i), j=jnp.asarray(self.loop_j),
+            t_ij=jnp.asarray(self.loop_t), yaw_ij=jnp.asarray(self.loop_yaw),
+            t_weight=jnp.asarray(lt_w), yaw_weight=jnp.asarray(ly_w),
+            valid=jnp.asarray(lv),
+            huber=jnp.full(L, cfg.loop_huber, jnp.float32))
+
+        edges = opt.PoseGraphEdges(*[jnp.concatenate([a, b])
+                                     for a, b in zip(seq, loops)])
+        out = opt.optimize_pose_graph(nodes, edges, cfg.lm_iters, cfg.cg_iters)
+
+        new_yaw = np.asarray(out.yaw)[:n]
+        new_t = np.asarray(out.t)[:n]
+        upd = valid[:n]
+        st.world_yaw[:n][upd] = new_yaw[upd]
+        st.world_p[:n][upd] = new_t[upd]
+        st.optimized[:n] |= upd
+
+        # drift per client from its last optimized KF
+        # (`server_pose_graph.cpp:1720-1796`)
+        for cid, c in enumerate(self.clients):
+            if not (c.registered and c.aligned):
+                continue
+            sel = np.nonzero((st.client[:n] == cid) & upd)[0]
+            if len(sel) == 0:
+                continue
+            k = int(sel[-1])
+            # submap-transformed VIO pose (no drift)
+            rz = np.asarray(rot_z(jnp.asarray(c.yaw_wl, jnp.float32)))
+            p_sv = rz @ st.vio_p[k] + c.t_wl
+            yaw_sv = vio_yaw[k] + c.yaw_wl
+            yaw_d = float(wrap_angle(jnp.asarray(st.world_yaw[k] - yaw_sv)))
+            rzd = np.asarray(rot_z(jnp.asarray(yaw_d, jnp.float32)))
+            t_d = st.world_p[k] - rzd @ p_sv
+            c.yaw_drift = yaw_d
+            c.t_drift = t_d.astype(np.float32)
+
+    # ---------- outputs ----------
+
+    def trajectory(self, cid: int):
+        """(M, 8) TUM-style rows [t, x, y, z, qw, qx, qy, qz] of aligned KFs
+        (the reference's pose1..4.txt export, `server_plotter.h:158-273`)."""
+        st = self.store
+        n = st.count
+        sel = np.nonzero((st.client[:n] == cid))[0]
+        rows = []
+        from ..geometry import ypr_to_r as _ypr2r
+        for k in sel:
+            ypr = jnp.asarray([st.world_yaw[k], st.world_pr[k, 0], st.world_pr[k, 1]],
+                              jnp.float32)
+            q = np.asarray(matrix_to_quat(_ypr2r(ypr)))
+            rows.append([st.timestamp[k], *st.world_p[k], *q])
+        return np.asarray(rows)

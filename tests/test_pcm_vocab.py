@@ -1,0 +1,111 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cvids_tpu.server import pcm, vocab
+
+
+# ---------- max clique ----------
+
+def test_max_clique_exact_small():
+    a = np.zeros((6, 6), bool)
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4)]:
+        a[i, j] = a[j, i] = True
+    cl = pcm.max_clique(a)
+    assert sorted(cl) == [0, 1, 2]
+
+
+def test_max_clique_dense_terminates():
+    assert len(pcm.max_clique(np.ones((30, 30), bool))) == 30
+    assert len(pcm.max_clique(np.zeros((5, 5), bool))) == 1
+    assert len(pcm.max_clique(np.zeros((0, 0), bool))) == 0
+
+
+# ---------- PCM consistency ----------
+
+def make_edges(rng, n_good=15, n_bad=5):
+    """Two agents on known trajectories; good edges = true relative pose,
+    bad edges = corrupted."""
+    e = n_good + n_bad
+    # endpoint odometry poses in each client's local frame
+    yaw_i = rng.uniform(-1, 1, e).astype(np.float32)
+    t_i = rng.normal(0, 3, (e, 3)).astype(np.float32)
+    yaw_j = rng.uniform(-1, 1, e).astype(np.float32)
+    t_j = rng.normal(0, 3, (e, 3)).astype(np.float32)
+    # true world transform of client b's frame wrt a's frame
+    yaw_ab, t_ab = 0.7, np.array([2.0, -1.0, 0.5], np.float32)
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    # edge i->j true: T_i^w = (yaw_i, t_i) in a-frame; j pose in a-frame:
+    # (yaw_ab + yaw_j, rz(yaw_ab) t_j + t_ab); edge = inv(T_i) * T_j_in_a
+    edge_yaw = np.zeros(e, np.float32)
+    edge_t = np.zeros((e, 3), np.float32)
+    for k in range(e):
+        yawj_a = yaw_ab + yaw_j[k]
+        tj_a = rz(yaw_ab) @ t_j[k] + t_ab
+        edge_yaw[k] = yawj_a - yaw_i[k]
+        edge_t[k] = rz(yaw_i[k]).T @ (tj_a - t_i[k])
+    # corrupt the bad ones
+    edge_yaw[n_good:] += rng.uniform(0.3, 1.0, n_bad) * rng.choice([-1, 1], n_bad)
+    edge_t[n_good:] += rng.uniform(1.0, 3.0, (n_bad, 3))
+    return (pcm.FourDof(jnp.asarray(edge_yaw), jnp.asarray(edge_t)),
+            pcm.FourDof(jnp.asarray(yaw_i), jnp.asarray(t_i)),
+            pcm.FourDof(jnp.asarray(yaw_j), jnp.asarray(t_j)))
+
+
+def test_pcm_filters_outliers(rng):
+    edge_T, pose_i, pose_j = make_edges(rng)
+    keep = pcm.pcm_filter(edge_T, pose_i, pose_j, np.ones(20, bool),
+                          min_edges=10)
+    assert keep[:15].all(), keep
+    assert not keep[15:].any(), keep
+
+
+def test_pcm_passthrough_below_min_edges(rng):
+    edge_T, pose_i, pose_j = make_edges(rng, n_good=3, n_bad=2)
+    keep = pcm.pcm_filter(edge_T, pose_i, pose_j, np.ones(5, bool),
+                          min_edges=20)
+    assert keep.all()
+
+
+# ---------- vocabulary ----------
+
+def test_vocab_quantize_consistency(rng):
+    descs = rng.integers(0, 2 ** 32, (500, 8), dtype=np.uint32)
+    voc = vocab.train_vocabulary(descs, k=5, levels=2, seed=1)
+    words = np.asarray(vocab.quantize(voc, jnp.asarray(descs)))
+    assert words.min() >= 0 and words.max() < voc.num_words
+    # identical descriptors -> identical words
+    w2 = np.asarray(vocab.quantize(voc, jnp.asarray(descs[:10])))
+    np.testing.assert_array_equal(words[:10], w2)
+
+
+def test_bow_self_similarity(rng):
+    descs = rng.integers(0, 2 ** 32, (400, 8), dtype=np.uint32)
+    voc = vocab.train_vocabulary(descs, k=5, levels=2, seed=1)
+    set_a = jnp.asarray(descs[:50])
+    set_b = jnp.asarray(descs[40:90])   # 10 shared
+    set_c = jnp.asarray(descs[200:250])  # disjoint
+    va = vocab.bow_vector(voc, set_a)
+    vb = vocab.bow_vector(voc, set_b)
+    vc = vocab.bow_vector(voc, set_c)
+    s_ab = float(vocab.score_database(va, vb[None])[0])
+    s_ac = float(vocab.score_database(va, vc[None])[0])
+    s_aa = float(vocab.score_database(va, va[None])[0])
+    assert s_aa > 0.99
+    assert s_ab > s_ac
+
+
+def test_bow_database_query_excludes_recent(rng):
+    descs = rng.integers(0, 2 ** 32, (300, 8), dtype=np.uint32)
+    voc = vocab.train_vocabulary(descs, k=5, levels=2, seed=1)
+    db = vocab.BowDatabase(voc, capacity=32)
+    v = np.asarray(vocab.bow_vector(voc, jnp.asarray(descs[:60])))
+    for _ in range(5):
+        db.add(v, client_id=0)
+    idx, scores = db.query(v, query_client=0, exclude_recent=10)
+    assert (scores <= 0).all()  # everything is recent & same client
+    idx, scores = db.query(v, query_client=1, exclude_recent=10)
+    assert scores[0] > 0.99  # other clients see them

@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvids_tpu.dense import estimator
+from cvids_tpu.ops import costvolume, depth_filter, sgm
+from cvids_tpu.ops.image import gaussian_blur
+
+
+H, W, D = 48, 64, 32
+
+
+def cam_k(f=40.0):
+    return np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+
+
+def textured_plane_views(rng, depth=2.0, baselines=(0.1,)):
+    """Fronto-parallel textured plane seen from a reference camera and
+    several baseline-shifted measurement cameras (pure x-translation).
+
+    Camera moved +x by b: point (x, y, Z) lands at u_m = u_r - f*b/Z, so
+    I_m(u) = I_r(u + disp), disp = f*b/Z.
+    """
+    k = cam_k()
+    pad = 40
+    tex = rng.uniform(0, 255, (H, W + 2 * pad)).astype(np.float32)
+    tex = np.asarray(gaussian_blur(jnp.asarray(tex), 1.5))
+    ref = tex[:, pad:pad + W]
+    views = []
+    for b in baselines:
+        disp = k[0, 0] * b / depth
+        shift = int(round(disp))
+        meas = tex[:, pad + shift:pad + shift + W]
+        t = np.array([-b, 0.0, 0.0], np.float32)
+        a_mat = (k @ np.linalg.inv(k)).astype(np.float32)
+        b_vec = (k @ t).astype(np.float32)
+        views.append((meas, a_mat, b_vec))
+    return ref, views, k
+
+
+def textured_plane_pair(rng, depth=2.0, baseline=0.1):
+    ref, views, k = textured_plane_views(rng, depth, (baseline,))
+    meas, a_mat, b_vec = views[0]
+    return ref, meas, a_mat, b_vec, k
+
+
+def inv_depth_grid(depth_min=0.8, depth_max=8.0):
+    inv = np.linspace(1.0 / depth_max, 1.0 / depth_min, D).astype(np.float32)
+    return inv
+
+
+def test_cost_volume_minimum_at_true_depth(rng):
+    depth = 2.0
+    ref, meas, a_mat, b_vec, k = textured_plane_pair(rng, depth=depth)
+    inv = inv_depth_grid()
+    cost, valid = costvolume.plane_sweep_cost(
+        jnp.asarray(ref), jnp.asarray(meas), jnp.asarray(a_mat),
+        jnp.asarray(b_vec), jnp.asarray(inv))
+    c = np.asarray(cost)
+    v = np.asarray(valid)
+    # central crop (borders suffer from warping out of view)
+    crop = (slice(10, -10), slice(10, -10))
+    best = np.argmin(np.where(v, c, np.inf), axis=-1)[crop]
+    est_inv = inv[best]
+    med = np.median(1.0 / est_inv)
+    assert abs(med - depth) < 0.25, med
+
+
+def test_accumulate_cost_running_mean(rng):
+    c1 = jnp.asarray(rng.uniform(0, 1, (4, 4, 8)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(0, 1, (4, 4, 8)).astype(np.float32))
+    v = jnp.ones((4, 4, 8), bool)
+    m, n = costvolume.accumulate_cost(jnp.zeros((4, 4, 8)), jnp.zeros((4, 4, 8)), c1, v)
+    m, n = costvolume.accumulate_cost(m, n, c2, v)
+    np.testing.assert_allclose(np.asarray(m), np.asarray((c1 + c2) / 2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), 2.0)
+    # invalid second sample leaves mean unchanged
+    m2, n2 = costvolume.accumulate_cost(m, n, c1 * 100, jnp.zeros((4, 4, 8), bool))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m))
+
+
+def test_sgm_denoises_wta(rng):
+    # true disparity plane = constant index 12, noisy unary costs
+    true_idx = 12
+    base = rng.uniform(0.4, 0.6, (H, W, D)).astype(np.float32)
+    base[..., true_idx] -= 0.25
+    noise = rng.normal(0, 0.15, (H, W, D)).astype(np.float32)
+    noisy = base + noise
+    raw_idx = np.argmin(noisy, -1)
+    raw_acc = (raw_idx == true_idx).mean()
+    agg = sgm.sgm_aggregate(jnp.asarray(noisy), jnp.zeros((H, W)), pi1=0.5, pi2=2.0)
+    sgm_idx = np.argmin(np.asarray(agg), -1)
+    sgm_acc = (sgm_idx == true_idx).mean()
+    assert sgm_acc > raw_acc + 0.2, (raw_acc, sgm_acc)
+    assert sgm_acc > 0.95
+
+
+def test_wta_subpixel_and_peak_rejection():
+    d = 16
+    cost = np.ones((2, 2, d), np.float32)
+    # pixel (0,0): sharp parabola with min between 5 and 6
+    cost[0, 0] = 1.0
+    idxs = np.arange(d)
+    cost[0, 0] = 0.1 * (idxs - 5.3) ** 2
+    # pixel (0,1): flat (ambiguous) -> rejected
+    cost[0, 1] = 1.0
+    idx_f, conf = sgm.wta_depth(jnp.asarray(cost))
+    assert abs(float(idx_f[0, 0]) - 5.3) < 0.1
+    assert bool(conf[0, 0])
+    assert not bool(conf[0, 1])
+
+
+def test_depth_filter_converges(rng):
+    st = depth_filter.init_state(4, 4)
+    true = 0.5 * jnp.ones((4, 4))
+    for _ in range(30):
+        x = true + jnp.asarray(rng.normal(0, 0.05, (4, 4)).astype(np.float32))
+        st = depth_filter.update(st, x, jnp.full((4, 4), 0.05 ** 2), jnp.ones((4, 4), bool))
+    np.testing.assert_allclose(np.asarray(st.mu), 0.5, atol=0.05)
+    assert np.asarray(depth_filter.converged_mask(st)).all()
+    assert (np.asarray(st.sigma2) < 1e-3).all()
+
+
+def test_depth_filter_rejects_outliers(rng):
+    st = depth_filter.init_state(2, 2)
+    # consistent inliers at 0.5 mixed with uniform junk
+    for i in range(40):
+        if i % 3 == 0:
+            x = jnp.asarray(rng.uniform(0.01, 5.0, (2, 2)).astype(np.float32))
+        else:
+            x = 0.5 + jnp.asarray(rng.normal(0, 0.03, (2, 2)).astype(np.float32))
+        st = depth_filter.update(st, x, jnp.full((2, 2), 0.03 ** 2), jnp.ones((2, 2), bool))
+    np.testing.assert_allclose(np.asarray(st.mu), 0.5, atol=0.1)
+
+
+def test_depth_filter_propagate_identity():
+    st = depth_filter.init_state(8, 8, mu0=0.5, sigma2_0=0.01, a0=20, b0=2)
+    k = jnp.asarray(cam_k(10.0))
+    out = depth_filter.propagate(st, jnp.eye(3), jnp.zeros(3), k, jnp.linalg.inv(k))
+    np.testing.assert_allclose(np.asarray(out.mu), 0.5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.a), 20, atol=1e-4)
+
+
+def test_dense_pipeline_end_to_end(rng):
+    depth = 2.0
+    cfg = estimator.DenseConfig(height=H, width=W, num_depths=D,
+                                dep_sample=float(inv_depth_grid()[1] - inv_depth_grid()[0]),
+                                tau2_scale=0.5, pi1=2.0, pi2=8.0)
+    # override hypothesis grid start by monkeypatching via dep offsets: the
+    # config grid starts at dep_sample; build geometry so truth is in range.
+    inv = cfg.inv_depths
+    assert inv[0] < 1.0 / depth < inv[-1]
+    ref, views, k = textured_plane_views(rng, depth=depth,
+                                         baselines=(0.1, 0.15, 0.2))
+    st = estimator.init_reference(cfg, jnp.asarray(ref))
+    for meas, a_mat, b_vec in views:
+        st = estimator.fuse_measurement(cfg, st, jnp.asarray(meas),
+                                        jnp.asarray(a_mat), jnp.asarray(b_vec))
+    inv_d, ok = estimator.finalize(cfg, st)
+    crop = (slice(10, -10), slice(10, -10))
+    okc = np.asarray(ok)[crop]
+    est = 1.0 / np.maximum(np.asarray(inv_d)[crop], 1e-6)
+    assert okc.mean() > 0.5, okc.mean()
+    med = np.median(est[okc])
+    assert abs(med - depth) < 0.3, med

@@ -1,0 +1,262 @@
+"""Chunked TSDF volume with device-side integration.
+
+Redesign of OpenChisel (`/root/reference/OpenChisel/open_chisel/include/
+open_chisel/Chisel.h:114-213`, `ChunkManager.h:40-55`, `DistVoxel.h:33-77`):
+the `ChunkID -> ChunkPtr` hash map of heap chunks integrated by 16 CPU
+threads becomes a fixed-capacity struct-of-arrays chunk pool — (C, 8, 8, 8)
+sdf/weight/color tensors — plus a host-side coordinate->slot dict for
+allocation. Integration is one jitted kernel over *all* active chunks at
+once: every voxel of every in-frustum chunk projects into the depth image in
+a single fused pass (chunks × 512 voxels of pure VPU work), replacing the
+reference's per-chunk thread pool.
+
+Defaults mirror the reference launch config (`chisel_ros/launch/
+sample.launch:7-21`): 8³-voxel chunks, 0.1 m voxels, truncation scaling with
+distance (quadratic truncator), optional space carving.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TsdfConfig", "ChunkPool", "TsdfVolume", "integrate_depth"]
+
+
+@dataclass(frozen=True)
+class TsdfConfig:
+    voxel_size: float = 0.1
+    chunk_size: int = 8
+    capacity: int = 4096          # max resident chunks
+    trunc_scale: float = 2.0      # τ = trunc_scale * voxel_size (+ quadratic)
+    trunc_quad: float = 0.0       # + trunc_quad * depth² (reference quadratic truncator)
+    carving: bool = True
+    carve_weight: float = 0.5     # weight decrement for carved voxels
+    max_weight: float = 100.0
+    min_depth: float = 0.3
+    max_depth: float = 10.0
+
+
+class ChunkPool(NamedTuple):
+    """Device-side voxel storage (chunk coordinates live host-side in
+    `TsdfVolume.coords_np` — tiny, irregular, and mutated per frame, which
+    would force an eager recompile-per-frame if kept as device arrays)."""
+
+    sdf: jax.Array      # (C, S, S, S)
+    weight: jax.Array   # (C, S, S, S)
+    color: jax.Array    # (C, S, S, S, 3)
+
+
+def _empty_pool(cfg: TsdfConfig) -> ChunkPool:
+    c, s = cfg.capacity, cfg.chunk_size
+    return ChunkPool(
+        sdf=jnp.zeros((c, s, s, s), jnp.float32),
+        weight=jnp.zeros((c, s, s, s), jnp.float32),
+        color=jnp.zeros((c, s, s, s, 3), jnp.float32))
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def _integrate_kernel(cfg: TsdfConfig, pool: ChunkPool,
+                      chunk_idx: jax.Array,      # (M,) pool slots to touch
+                      chunk_coords: jax.Array,   # (M, 3) chunk grid coords
+                      chunk_active: jax.Array,   # (M,) bool
+                      depth: jax.Array,          # (H, W)
+                      color: jax.Array,          # (H, W, 3)
+                      k_mat: jax.Array,          # (3, 3)
+                      r_cw: jax.Array, t_cw: jax.Array):
+    """Integrate one depth+color frame into the selected chunks.
+
+    r_cw, t_cw: world->camera. Implements `ProjectionIntegrator::
+    IntegrateColor`'s voxel-centroid projection with truncation + optional
+    space carving (`ProjectionIntegrator.h:101-169`).
+    """
+    s = cfg.chunk_size
+    h, w = depth.shape
+    vx = cfg.voxel_size
+
+    # voxel-center offsets within a chunk: (S³, 3)
+    r = jnp.arange(s, dtype=jnp.float32) + 0.5
+    zz, yy, xx = jnp.meshgrid(r, r, r, indexing="ij")
+    offs = jnp.stack([xx, yy, zz], -1).reshape(-1, 3)  # (V, 3) in voxels
+
+    def one_chunk(slot, coord, active):
+        origin = coord.astype(jnp.float32) * (s * vx)
+        centers_w = origin[None, :] + offs * vx  # (V, 3)
+        pc = centers_w @ r_cw.T + t_cw  # world -> camera
+        z = pc[:, 2]
+        proj = pc @ k_mat.T
+        u = proj[:, 0] / jnp.maximum(proj[:, 2], 1e-6)
+        v = proj[:, 1] / jnp.maximum(proj[:, 2], 1e-6)
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
+        in_img = (u >= 0) & (u <= w - 1) & (v >= 0) & (v <= h - 1) & (z > 1e-3)
+        d = depth[vi, ui]
+        col = color[vi, ui]
+        d_ok = in_img & (d > cfg.min_depth) & (d < cfg.max_depth)
+        surf_dist = d - z  # >0: voxel in front of surface
+        tau = cfg.trunc_scale * vx + cfg.trunc_quad * d * d
+
+        old_sdf = pool.sdf[slot].reshape(-1)
+        old_w = pool.weight[slot].reshape(-1)
+        old_c = pool.color[slot].reshape(-1, 3)
+
+        upd = d_ok & (surf_dist > -tau) & (surf_dist < tau) & active
+        u_clamped = jnp.clip(surf_dist, -tau, tau)
+        w_new = jnp.where(upd, 1.0, 0.0)
+        wsum = old_w + w_new
+        sdf = jnp.where(upd, (old_sdf * old_w + u_clamped) / jnp.maximum(wsum, 1e-9),
+                        old_sdf)
+        cnew = jnp.where(upd[:, None],
+                         (old_c * old_w[:, None] + col) / jnp.maximum(wsum, 1e-9)[:, None],
+                         old_c)
+        wout = jnp.minimum(jnp.where(upd, wsum, old_w), cfg.max_weight)
+
+        if cfg.carving:
+            carve = d_ok & (surf_dist > tau) & active & (old_w > 0)
+            wout = jnp.where(carve, jnp.maximum(wout - cfg.carve_weight, 0.0), wout)
+            sdf = jnp.where(carve & (wout <= 0.0), 0.0, sdf)
+
+        return (sdf.reshape(s, s, s), wout.reshape(s, s, s),
+                cnew.reshape(s, s, s, 3))
+
+    sdf_new, w_new, c_new = jax.vmap(one_chunk)(chunk_idx, chunk_coords,
+                                                chunk_active)
+    pool = pool._replace(
+        sdf=pool.sdf.at[chunk_idx].set(
+            jnp.where(chunk_active[:, None, None, None], sdf_new,
+                      pool.sdf[chunk_idx])),
+        weight=pool.weight.at[chunk_idx].set(
+            jnp.where(chunk_active[:, None, None, None], w_new,
+                      pool.weight[chunk_idx])),
+        color=pool.color.at[chunk_idx].set(
+            jnp.where(chunk_active[:, None, None, None, None], c_new,
+                      pool.color[chunk_idx])))
+    return pool
+
+
+class TsdfVolume:
+    """Host-side chunk allocator + device pool — the `ChunkManager` role.
+
+    Allocation (irregular, tiny) lives on the host: back-projected depth
+    points name the chunks a frame touches; unseen ones get pool slots from a
+    free list. Voxel math (dense, regular) runs on device.
+    """
+
+    def __init__(self, cfg: TsdfConfig | None = None):
+        self.cfg = cfg or TsdfConfig()
+        self.pool = _empty_pool(self.cfg)
+        self.coords_np = np.zeros((self.cfg.capacity, 3), np.int32)
+        self.occupied_np = np.zeros(self.cfg.capacity, bool)
+        self.slot_of: dict[tuple, int] = {}
+        self.free = list(range(self.cfg.capacity - 1, -1, -1))
+        self.dirty: set[int] = set()
+        self.max_chunks_per_frame = 1024
+
+    # ----- allocation -----
+
+    def _touched_chunks(self, depth: np.ndarray, k: np.ndarray,
+                        r_wc: np.ndarray, t_wc: np.ndarray) -> np.ndarray:
+        """Chunk coords intersecting the truncation band of this depth image
+        (the reference's frustum-chunk intersection, `Chisel.h:125-148`,
+        done by sparse back-projection instead of box tests)."""
+        cfg = self.cfg
+        h, w = depth.shape
+        step = 4  # subsample: every 4th pixel names its chunk neighborhood
+        vs, cs = cfg.voxel_size, cfg.chunk_size
+        dd = depth[::step, ::step]
+        uu, vv = np.meshgrid(np.arange(0, w, step), np.arange(0, h, step))
+        ok = (dd > cfg.min_depth) & (dd < cfg.max_depth)
+        if not ok.any():
+            return np.zeros((0, 3), np.int32)
+        kinv = np.linalg.inv(k)
+        rays = np.stack([uu[ok], vv[ok], np.ones(ok.sum())], 0)
+        rays = kinv @ rays
+        tau = cfg.trunc_scale * vs + cfg.trunc_quad * dd[ok] ** 2
+        chunks = set()
+        scales = [1.0 - 1.5 * tau / np.maximum(dd[ok], 1e-6),
+                  np.ones(int(ok.sum())),
+                  1.0 + 1.5 * tau / np.maximum(dd[ok], 1e-6)]
+        if cfg.carving:
+            # space carving touches every chunk along the ray in front of the
+            # surface (the reference's frustum walk, `Chisel.h:131-143`):
+            # march at ~one chunk-diagonal spacing
+            step = vs * cs * 0.8
+            max_d = float(dd[ok].max())
+            for f in np.arange(cfg.min_depth, max_d, step):
+                scales.append(np.minimum(f / np.maximum(dd[ok], 1e-6), 1.0))
+        for scale in scales:
+            pts_c = rays * (dd[ok] * scale)
+            pts_w = (r_wc @ pts_c).T + t_wc
+            cc = np.floor(pts_w / (vs * cs)).astype(np.int32)
+            chunks.update(map(tuple, cc))
+        return np.asarray(sorted(chunks), np.int32)
+
+    def _alloc(self, coords: np.ndarray) -> np.ndarray:
+        slots = []
+        new_coords = []
+        for c in map(tuple, coords):
+            s = self.slot_of.get(c)
+            if s is None:
+                if not self.free:
+                    continue  # pool exhausted: skip (host could spill to CPU)
+                s = self.free.pop()
+                self.slot_of[c] = s
+                new_coords.append((s, c))
+            slots.append(s)
+        if new_coords:
+            idx = np.asarray([s for s, _ in new_coords], np.int32)
+            cc = np.asarray([c for _, c in new_coords], np.int32)
+            self.coords_np[idx] = cc
+            self.occupied_np[idx] = True
+        return np.asarray(slots, np.int32)
+
+    # ----- integration -----
+
+    def integrate(self, depth: np.ndarray, color: np.ndarray,
+                  k: np.ndarray, r_wc: np.ndarray, t_wc: np.ndarray):
+        """Integrate a depth (+color) frame with camera->world pose
+        (`Chisel::IntegrateDepthScanColor`)."""
+        coords = self._touched_chunks(depth, k, r_wc, t_wc)
+        slots = self._alloc(coords)
+        if len(slots) == 0:
+            return
+        m = self.max_chunks_per_frame
+        r_cw = r_wc.T
+        t_cw = -r_wc.T @ t_wc
+        for start in range(0, len(slots), m):
+            batch = slots[start:start + m]
+            pad = m - len(batch)
+            idx = np.concatenate([batch, np.zeros(pad, np.int32)])
+            act = np.concatenate([np.ones(len(batch), bool), np.zeros(pad, bool)])
+            cc = self.coords_np[idx]
+            self.pool = _integrate_kernel(
+                self.cfg, self.pool, jnp.asarray(idx), jnp.asarray(cc),
+                jnp.asarray(act), jnp.asarray(depth, jnp.float32),
+                jnp.asarray(color, jnp.float32), jnp.asarray(k, jnp.float32),
+                jnp.asarray(r_cw, jnp.float32), jnp.asarray(t_cw, jnp.float32))
+        self.dirty.update(int(s) for s in slots)
+
+    # ----- queries -----
+
+    def sdf_at(self, pts_w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Nearest-voxel SDF + weight lookup for (N, 3) world points."""
+        cfg = self.cfg
+        vs, cs = cfg.voxel_size, cfg.chunk_size
+        vox = np.floor(pts_w / vs).astype(np.int64)
+        cc = np.floor_divide(vox, cs)
+        local = vox - cc * cs
+        sdf = np.zeros(len(pts_w), np.float32)
+        wgt = np.zeros(len(pts_w), np.float32)
+        pool_sdf = np.asarray(self.pool.sdf)
+        pool_w = np.asarray(self.pool.weight)
+        for i, (c, l) in enumerate(zip(map(tuple, cc), local)):
+            s = self.slot_of.get(c)
+            if s is not None:
+                sdf[i] = pool_sdf[s, l[2], l[1], l[0]]
+                wgt[i] = pool_w[s, l[2], l[1], l[0]]
+        return sdf, wgt

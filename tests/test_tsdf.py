@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from cvids_tpu.mapping import mesh, tsdf
+
+
+H, W = 60, 80
+K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+
+
+def render_sphere_depth(center, radius, r_wc, t_wc):
+    """Ray-trace a sphere into a depth image for camera pose (r_wc, t_wc)."""
+    kinv = np.linalg.inv(K)
+    uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+    rays = np.stack([uu.ravel(), vv.ravel(), np.ones(H * W)], 0)
+    rays = kinv @ rays
+    rays /= np.linalg.norm(rays, axis=0, keepdims=True)
+    d_w = r_wc @ rays  # ray directions in world
+    o = t_wc
+    oc = o - center
+    b = 2 * d_w.T @ oc
+    c = oc @ oc - radius ** 2
+    disc = b ** 2 - 4 * c
+    depth = np.full(H * W, np.nan)
+    hit = disc > 0
+    t_hit = (-b[hit] - np.sqrt(disc[hit])) / 2
+    # depth = z-coordinate in camera frame = t_hit * rays_z_component... rays
+    # normalized in cam frame: z component:
+    z_dir = rays[2]
+    depth[hit] = t_hit * z_dir[hit]
+    depth[depth <= 0] = np.nan
+    return depth.reshape(H, W)
+
+
+def look_at(eye, target):
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    x = np.cross(z, [0, 0, 1.0])
+    if np.linalg.norm(x) < 1e-6:
+        x = np.array([1.0, 0, 0])
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], 1)  # camera axes as columns: r_wc
+
+
+@pytest.fixture(scope="module")
+def sphere_volume():
+    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=2048, carving=True)
+    vol = tsdf.TsdfVolume(cfg)
+    center = np.array([0.0, 0.0, 1.0])
+    radius = 0.4
+    for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+        eye = center + 1.8 * np.array([np.cos(ang), np.sin(ang), 0.3])
+        r_wc = look_at(eye, center)
+        depth = render_sphere_depth(center, radius, r_wc, eye)
+        depth = np.nan_to_num(depth, nan=0.0)
+        color = np.full((H, W, 3), 128.0)
+        vol.integrate(depth, color, K, r_wc.astype(np.float32),
+                      eye.astype(np.float32))
+    return vol, center, radius
+
+
+def test_sdf_zero_on_surface(sphere_volume):
+    vol, center, radius = sphere_volume
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(100, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # only directions seen by the cameras (equatorial band)
+    dirs = dirs[np.abs(dirs[:, 2]) < 0.6]
+    pts = center + dirs * radius
+    sdf, wgt = vol.sdf_at(pts)
+    seen = wgt > 0
+    assert seen.mean() > 0.7
+    assert np.abs(sdf[seen]).mean() < vol.cfg.voxel_size, np.abs(sdf[seen]).mean()
+
+
+def test_sdf_sign_inside_outside(sphere_volume):
+    vol, center, radius = sphere_volume
+    out_pts = center + np.array([[radius + 0.08, 0, 0], [0, radius + 0.08, 0]])
+    in_pts = center + np.array([[radius - 0.08, 0, 0], [0, radius - 0.08, 0]])
+    sdf_o, w_o = vol.sdf_at(out_pts)
+    sdf_i, w_i = vol.sdf_at(in_pts)
+    assert (sdf_o[w_o > 0] > 0).all()
+    assert (sdf_i[w_i > 0] < 0).all()
+
+
+def test_mesh_on_sphere_surface(sphere_volume, tmp_path):
+    vol, center, radius = sphere_volume
+    verts, cols = mesh.extract_mesh(vol)
+    assert len(verts) > 200, len(verts)
+    d = np.linalg.norm(verts.reshape(-1, 3) - center, axis=1)
+    err = np.abs(d - radius)
+    assert np.median(err) < vol.cfg.voxel_size, np.median(err)
+    # PLY round trip
+    p = str(tmp_path / "sphere.ply")
+    mesh.write_ply(p, verts, cols)
+    v2, t = mesh.read_ply(p)
+    assert t == len(verts)
+    np.testing.assert_allclose(v2, verts.reshape(-1, 3), atol=1e-6)
+
+
+def test_carving_removes_floaters():
+    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=1024, carving=True,
+                          carve_weight=1.0)
+    vol = tsdf.TsdfVolume(cfg)
+    center = np.array([0.0, 0.0, 1.0])
+    eye = center + np.array([1.5, 0.0, 0.0])
+    r_wc = look_at(eye, center)
+    # first frame: phantom sphere
+    depth1 = render_sphere_depth(center, 0.3, r_wc, eye)
+    vol.integrate(np.nan_to_num(depth1, nan=0.0), np.zeros((H, W, 3)), K,
+                  r_wc.astype(np.float32), eye.astype(np.float32))
+    sdf0, w0 = vol.sdf_at(center[None] + [[0.3, 0, 0]])
+    assert w0[0] > 0
+    # many later frames: wall far behind -> phantom surface gets carved
+    flat = np.full((H, W), 2.5)
+    for _ in range(5):
+        vol.integrate(flat, np.zeros((H, W, 3)), K,
+                      r_wc.astype(np.float32), eye.astype(np.float32))
+    sdf1, w1 = vol.sdf_at(center[None] + [[0.3, 0, 0]])
+    assert w1[0] < w0[0]
+
+
+def test_chunk_allocation_bounded():
+    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=64)
+    vol = tsdf.TsdfVolume(cfg)
+    depth = np.full((H, W), 1.0)
+    vol.integrate(depth, np.zeros((H, W, 3)), K, np.eye(3, dtype=np.float32),
+                  np.zeros(3, np.float32))
+    assert len(vol.slot_of) <= 64
+    assert vol.pool.sdf.shape[0] == 64

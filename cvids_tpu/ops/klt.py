@@ -36,11 +36,15 @@ def track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
                  valid0: jax.Array | None = None,
                  radius: int = 10, levels: int = 3, iters: int = 10,
                  max_residual: float = 25.0,
-                 min_eig: float = 1e-3) -> TrackResult:
+                 min_eig: float = 1e-3,
+                 init_xy: jax.Array | None = None) -> TrackResult:
     """Track (N, 2) points from img0 to img1.
 
     Window (2*radius+1)², `levels` pyramid levels, `iters` GN iterations per
     level (matches OpenCV's 21×21 / 3-level defaults the reference relies on).
+    `init_xy` (N, 2) optionally seeds the search at predicted positions (the
+    VINS front-end's IMU-predicted-flow trick) — essential when inter-frame
+    motion exceeds the pyramid's capture range.
     """
     if valid0 is None:
         valid0 = jnp.ones(xy0.shape[0], dtype=bool)
@@ -48,7 +52,8 @@ def track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
     pyr1 = build_pyramid(img1, levels)
     offs = _patch_coords(radius)  # (P, 2)
 
-    flow = jnp.zeros_like(xy0)  # displacement in full-res coords
+    # displacement in full-res coords, seeded by the prediction if given
+    flow = (init_xy - xy0) if init_xy is not None else jnp.zeros_like(xy0)
 
     residual = jnp.zeros(xy0.shape[0], dtype=jnp.float32)
     conditioned = jnp.ones(xy0.shape[0], dtype=bool)

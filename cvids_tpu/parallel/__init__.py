@@ -1,0 +1,6 @@
+from .mesh import (  # noqa: F401
+    make_mesh,
+    pad_edges_for_sharding,
+    shard_posegraph_solve,
+    sharded_dense_fuse,
+)

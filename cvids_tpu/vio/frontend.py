@@ -1,0 +1,369 @@
+"""Per-agent VIO front-end: pixels + IMU in, keyframe packets out.
+
+This is Layer A of SURVEY.md — external to the reference repo (a VINS-Mono
+class estimator, contract defined by `agent_msg/msg/AgentMsg.msg` + the
+`config/euroc/*.yaml` feature-tracker/solver keys) — built here TPU-first:
+
+- feature maintenance: pyramidal KLT tracking + grid-spread FAST
+  re-detection, all batched (`ops.klt`, `ops.fast`);
+- state estimation: fixed-lag sliding-window visual-inertial LM over the
+  window (`vio.window_ba`), IMU preintegration between keyframes;
+- output: `KeyframePacket` ≈ AgentMsg — pose, window landmarks (3D + 2D +
+  ids + BRIEF), extra full-image features for server-side loop closure.
+
+Fixed capacities everywhere: the window slides by rolling arrays host-side;
+the solver itself is one jitted call per keyframe.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import PinholeCamera
+from ..geometry import g2r, matrix_to_quat, quat_to_matrix
+from ..io.msgs import KeyframePacket
+from ..ops import brief, fast, klt
+from ..utils.config import AgentConfig
+from . import imu as imu_mod
+from . import window_ba as ba
+
+__all__ = ["AgentFrontend"]
+
+
+class AgentFrontend:
+    WINDOW = 8          # sliding-window keyframes
+    MAX_FEAT = 96       # tracked feature / landmark capacity
+    MAX_IMU = 128       # IMU samples per keyframe interval (0.5 s @ 200 Hz = 100)
+
+    def __init__(self, cfg: AgentConfig, client_id: int = 0):
+        self.cfg = cfg
+        self.client_id = client_id
+        c = cfg.camera
+        self.cam = PinholeCamera.create(c.fx, c.fy, c.cx, c.cy,
+                                        (c.k1, c.k2, c.p1, c.p2),
+                                        c.width, c.height)
+        self.r_cb = np.asarray(cfg.r_cb, np.float32)
+        self.p_bc = np.asarray(cfg.p_bc, np.float32)
+
+        mf = self.MAX_FEAT
+        self.feat_xy = np.zeros((mf, 2), np.float32)
+        self.feat_id = np.full(mf, -1, np.int64)
+        self.feat_valid = np.zeros(mf, bool)
+        self.next_id = 0
+        self.prev_image: np.ndarray | None = None
+
+        # sliding window state
+        w = self.WINDOW
+        self.kf_count = 0          # total keyframes ever
+        self.n_in_window = 0
+        self.state = ba.WindowState(
+            p=jnp.zeros((w, 3)), q=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (w, 1)),
+            v=jnp.zeros((w, 3)), bg=jnp.zeros((w, 3)), ba=jnp.zeros((w, 3)),
+            lm=jnp.zeros((mf, 3)), kf_valid=jnp.zeros(w, bool),
+            lm_valid=jnp.zeros(mf, bool))
+        self.obs = np.zeros((w, mf, 2), np.float32)
+        self.vis = np.zeros((w, mf), bool)
+        self.lm_id = np.full(mf, -1, np.int64)   # landmark slot -> feature id
+        self.pre_list: list = [None] * (w - 1)   # preintegrations between KFs
+        self.initialized = False
+        self._last_solved = None
+
+    # ---------- feature maintenance ----------
+
+    def _predict_features(self, p_pred: np.ndarray, q_pred: np.ndarray):
+        """Predicted pixel positions of current features in the new frame:
+        landmark reprojection where depth is known, previous position
+        otherwise (the VINS predicted-flow KLT seed)."""
+        if not self.feat_valid.any():
+            return None
+        pred = self.feat_xy.copy()
+        lm = np.asarray(self.state.lm)
+        lm_ok = np.asarray(self.state.lm_valid)
+        r_wb = np.asarray(quat_to_matrix(jnp.asarray(q_pred, jnp.float32)))
+        for f in range(self.MAX_FEAT):
+            if not self.feat_valid[f]:
+                continue
+            s_ = np.nonzero(self.lm_id == self.feat_id[f])[0]
+            if len(s_) == 0 or not lm_ok[s_[0]]:
+                continue
+            pt_b = r_wb.T @ (lm[s_[0]] - p_pred)
+            pt_c = self.r_cb @ (pt_b - self.p_bc)
+            if pt_c[2] > 0.1:
+                px = np.asarray(self.cam.project(jnp.asarray(pt_c, jnp.float32)))
+                pred[f] = px
+        return pred
+
+    def _track_and_detect(self, image: np.ndarray,
+                          init_xy: np.ndarray | None = None):
+        cfg = self.cfg
+        img_j = jnp.asarray(image, jnp.float32)
+        if self.prev_image is not None and self.feat_valid.any():
+            res = klt.track_points(jnp.asarray(self.prev_image, jnp.float32),
+                                   img_j, jnp.asarray(self.feat_xy),
+                                   jnp.asarray(self.feat_valid),
+                                   levels=4, iters=15,
+                                   init_xy=(jnp.asarray(init_xy)
+                                            if init_xy is not None else None))
+            self.feat_xy = np.array(res.xy)      # writable host copies
+            self.feat_valid = np.array(res.valid)
+        # drop features too close to the border for BRIEF
+        b = brief.PATCH_HALF + 1
+        inb = ((self.feat_xy[:, 0] >= b) & (self.feat_xy[:, 0] < image.shape[1] - b)
+               & (self.feat_xy[:, 1] >= b) & (self.feat_xy[:, 1] < image.shape[0] - b))
+        self.feat_valid &= inb
+        # re-detect into free slots
+        n_free = int((~self.feat_valid).sum())
+        if n_free > 0:
+            score = fast.fast_score_map(img_j, cfg.fast_threshold)
+            kps = fast.select_keypoints(
+                score, max_num=n_free, cell=cfg.min_feature_dist,
+                existing_xy=jnp.asarray(self.feat_xy),
+                existing_valid=jnp.asarray(self.feat_valid),
+                min_dist=float(cfg.min_feature_dist))
+            new_xy = np.asarray(kps.xy)
+            new_ok = np.array(kps.valid)  # writable copy
+            new_ok &= ((new_xy[:, 0] >= b) & (new_xy[:, 0] < image.shape[1] - b)
+                       & (new_xy[:, 1] >= b) & (new_xy[:, 1] < image.shape[0] - b))
+            free_slots = np.nonzero(~self.feat_valid)[0]
+            k = 0
+            for j in range(len(new_xy)):
+                if not new_ok[j] or k >= len(free_slots):
+                    continue
+                s = free_slots[k]
+                self.feat_xy[s] = new_xy[j]
+                self.feat_id[s] = self.next_id
+                self.next_id += 1
+                self.feat_valid[s] = True
+                k += 1
+        self.prev_image = image
+
+    # ---------- window management ----------
+
+    def _shift_window(self):
+        """Fixed-lag slide: drop the oldest keyframe (roll arrays)."""
+        roll = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+        st = self.state
+        self.state = st._replace(
+            p=roll(st.p), q=roll(st.q), v=roll(st.v), bg=roll(st.bg),
+            ba=roll(st.ba),
+            kf_valid=jnp.concatenate([st.kf_valid[1:], jnp.zeros(1, bool)]))
+        self.obs = np.concatenate([self.obs[1:], np.zeros_like(self.obs[:1])])
+        self.vis = np.concatenate([self.vis[1:], np.zeros_like(self.vis[:1])])
+        self.pre_list = self.pre_list[1:] + [None]
+        self.n_in_window -= 1
+        # landmarks no longer observed anywhere leave the window
+        seen = self.vis.any(axis=0)
+        self.state = self.state._replace(
+            lm_valid=self.state.lm_valid & jnp.asarray(seen))
+        self.lm_id[~seen] = -1
+
+    def _imu_init_attitude(self, acc: np.ndarray):
+        """Gravity-aligned initial orientation (`server_utility.cpp` g2R)."""
+        g_meas = acc.mean(axis=0)
+        # stationary accel reads R_wb^T * (0,0,9.81); g2r maps that direction
+        # onto +z with zero yaw, i.e. it IS R_wb (up to yaw, which is free)
+        r = np.asarray(g2r(jnp.asarray(g_meas, jnp.float32)))
+        return np.asarray(matrix_to_quat(jnp.asarray(r, jnp.float32)))
+
+    # ---------- main entry ----------
+
+    def process_keyframe(self, timestamp: float, image: np.ndarray,
+                         imu_gyr: np.ndarray, imu_acc: np.ndarray,
+                         imu_dts: np.ndarray) -> KeyframePacket | None:
+        """Feed one keyframe-rate image + the IMU batch since the previous
+        keyframe. Returns a KeyframePacket once the window is solvable."""
+        w, mf = self.WINDOW, self.MAX_FEAT
+
+        slot = min(self.n_in_window, w - 1)
+        if self.n_in_window == w:
+            self._shift_window()
+            slot = w - 1
+
+        # preintegrate IMU from previous keyframe (before tracking: the
+        # predicted motion seeds the KLT search)
+        if self.kf_count > 0 and len(imu_gyr):
+            m = self.MAX_IMU
+            g = np.zeros((m, 3), np.float32)
+            a = np.zeros((m, 3), np.float32)
+            dt = np.zeros(m, np.float32)
+            vmask = np.zeros(m, bool)
+            n = min(len(imu_gyr), m)
+            g[:n], a[:n], dt[:n], vmask[:n] = (imu_gyr[:n], imu_acc[:n],
+                                               imu_dts[:n], True)
+            bg0 = self.state.bg[max(slot - 1, 0)]
+            ba0 = self.state.ba[max(slot - 1, 0)]
+            pre = imu_mod.preintegrate(jnp.asarray(g), jnp.asarray(a),
+                                       jnp.asarray(dt), bg0, ba0,
+                                       sample_valid=jnp.asarray(vmask))
+            self.pre_list[slot - 1] = pre
+        else:
+            pre = None
+
+        # pose init for the new keyframe
+        st = self.state
+        if self.kf_count == 0:
+            q0 = self._imu_init_attitude(imu_acc if len(imu_acc) else
+                                         np.array([[0, 0, 9.81]]))
+            st = st._replace(
+                q=st.q.at[0].set(jnp.asarray(q0)),
+                kf_valid=st.kf_valid.at[0].set(True))
+            p_pred = st.p[0]
+            q_pred = st.q[0]
+        else:
+            prev = slot - 1
+            if pre is not None:
+                # IMU dead-reckoning prediction
+                dtot = pre.dt
+                p_pred = (st.p[prev] + st.v[prev] * dtot
+                          + 0.5 * jnp.asarray(imu_mod.GRAVITY) * dtot * dtot
+                          + quat_to_matrix(st.q[prev]) @ pre.dp)
+                from ..geometry import quat_multiply, quat_normalize
+                q_pred = quat_normalize(quat_multiply(st.q[prev], pre.dq))
+                v_pred = (st.v[prev] + jnp.asarray(imu_mod.GRAVITY) * dtot
+                          + quat_to_matrix(st.q[prev]) @ pre.dv)
+            else:
+                p_pred, q_pred, v_pred = st.p[prev], st.q[prev], st.v[prev]
+            st = st._replace(
+                p=st.p.at[slot].set(p_pred), q=st.q.at[slot].set(q_pred),
+                v=st.v.at[slot].set(v_pred),
+                bg=st.bg.at[slot].set(st.bg[prev]),
+                ba=st.ba.at[slot].set(st.ba[prev]),
+                kf_valid=st.kf_valid.at[slot].set(True))
+
+        # track with IMU/landmark-predicted feature positions, then re-detect
+        init_xy = self._predict_features(np.asarray(p_pred), np.asarray(q_pred))
+        self._track_and_detect(image, init_xy)
+
+        # observations: normalized coords of tracked features, slot-aligned
+        # landmark bookkeeping by feature id
+        norm_xy = np.asarray(self.cam.lift(jnp.asarray(self.feat_xy)))
+        for f in range(mf):
+            if not self.feat_valid[f]:
+                continue
+            fid = self.feat_id[f]
+            lm_slot = np.nonzero(self.lm_id == fid)[0]
+            if len(lm_slot) == 0:
+                free = np.nonzero(self.lm_id < 0)[0]
+                if len(free) == 0:
+                    continue
+                lm_slot = free[:1]
+                self.lm_id[lm_slot[0]] = fid
+            s_ = int(lm_slot[0])
+            self.obs[slot, s_] = norm_xy[f]
+            self.vis[slot, s_] = True
+
+        self.state = st
+        self.n_in_window += 1
+        self.kf_count += 1
+
+        # triangulate landmarks with >= 2 views that aren't active yet
+        counts = self.vis.sum(axis=0)
+        lm_valid = np.array(self.state.lm_valid)
+        to_tri = np.nonzero((counts >= 2) & ~lm_valid & (self.lm_id >= 0))[0]
+        if len(to_tri):
+            lm = np.array(self.state.lm)
+            for s_ in to_tri:
+                pt, ok = ba.triangulate(
+                    self.state.p, self.state.q,
+                    jnp.asarray(self.obs[:, s_]), jnp.asarray(self.vis[:, s_]),
+                    jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
+                d_ok = bool(ok) and np.isfinite(np.asarray(pt)).all()
+                if d_ok:
+                    lm[s_] = np.asarray(pt)
+                    lm_valid[s_] = True
+            self.state = self.state._replace(
+                lm=jnp.asarray(lm), lm_valid=jnp.asarray(lm_valid))
+
+        # solve once at least 2 keyframes and some landmarks exist
+        if self.n_in_window >= 2 and lm_valid.sum() >= 8:
+            self._solve()
+            self.initialized = True
+
+        return self._emit_packet(timestamp, image) if self.initialized else None
+
+    def _solve(self):
+        w = self.WINDOW
+        # stack preintegrations (identity placeholder where missing)
+        pres = []
+        pre_valid = np.zeros(w - 1, bool)
+        dummy = None
+        for i in range(w - 1):
+            if self.pre_list[i] is not None:
+                pres.append(self.pre_list[i])
+                pre_valid[i] = True
+            else:
+                if dummy is None:
+                    dummy = imu_mod.preintegrate(
+                        jnp.zeros((2, 3)), jnp.tile(jnp.asarray([0.0, 0, 9.81]), (2, 1)),
+                        jnp.full(2, 0.005), jnp.zeros(3), jnp.zeros(3))
+                pres.append(dummy)
+        pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        m0 = np.asarray(quat_to_matrix(self.state.q[0]))
+        meas = ba.WindowMeasurements(
+            obs=jnp.asarray(self.obs), vis=jnp.asarray(self.vis),
+            pre=pre, pre_valid=jnp.asarray(pre_valid),
+            r_cb=jnp.asarray(self.r_cb), p_bc=jnp.asarray(self.p_bc),
+            pix_weight=float(self.cam.fx), huber_delta=5.0, bias_weight=10.0,
+            prior=None,
+            anchor_p=self.state.p[0],
+            anchor_yaw=jnp.arctan2(m0[1, 0], m0[0, 0]))
+        iters = self.cfg.max_solver_iterations
+        self.state, cost = ba.solve_window(self.state, meas, iters=iters)
+        self._last_solved = float(cost)
+        # outlier gating: kill observations whose post-solve reprojection
+        # error exceeds ~4 px (the front-end contract's RANSAC/chi2 role);
+        # landmarks left with < 2 views drop out of the estimation
+        res = ba.reprojection_residuals(self.state, meas)  # whitened by fx
+        err_px = np.asarray(jnp.linalg.norm(res, axis=-1))
+        bad = (err_px > 4.0) & self.vis
+        if bad.any():
+            self.vis &= ~bad
+            counts = self.vis.sum(axis=0)
+            self.state = self.state._replace(
+                lm_valid=self.state.lm_valid & jnp.asarray(counts >= 2))
+
+    def _emit_packet(self, timestamp: float, image: np.ndarray) -> KeyframePacket:
+        slot = self.n_in_window - 1
+        st = self.state
+        p = np.asarray(st.p[slot])
+        q = np.asarray(st.q[slot])
+        # window landmarks observed in this keyframe
+        vis_now = self.vis[slot] & np.asarray(st.lm_valid)
+        idxs = np.nonzero(vis_now)[0]
+        pts3d = np.asarray(st.lm)[idxs]
+        uv = self.obs[slot][idxs]
+        ids = self.lm_id[idxs]
+        # descriptors at current pixel positions of those features
+        img_j = jnp.asarray(image, jnp.float32)
+        blurred = brief.gaussian_blur(img_j, 2.0, radius=4)
+        feat_lookup = {self.feat_id[f]: f for f in range(self.MAX_FEAT)
+                       if self.feat_valid[f]}
+        px = np.array([self.feat_xy[feat_lookup[i]] if i in feat_lookup
+                       else [0.0, 0.0] for i in ids], np.float32).reshape(-1, 2)
+        desc = np.asarray(brief.compute_brief(blurred, jnp.asarray(px),
+                                              pre_blurred=True)) \
+            if len(px) else np.zeros((0, 8), np.uint32)
+        # extra full-image features for the server's loop matcher
+        score = fast.fast_score_map(img_j, self.cfg.fast_threshold)
+        kps = fast.select_keypoints(score, max_num=self.MAX_FEAT * 2,
+                                    cell=max(8, self.cfg.min_feature_dist // 2))
+        ext_xy = np.asarray(kps.xy)
+        ext_ok = np.array(kps.valid)
+        bmargin = brief.PATCH_HALF + 1
+        ext_ok &= ((ext_xy[:, 0] >= bmargin) & (ext_xy[:, 0] < image.shape[1] - bmargin)
+                   & (ext_xy[:, 1] >= bmargin) & (ext_xy[:, 1] < image.shape[0] - bmargin))
+        ext_desc = np.asarray(brief.compute_brief(blurred, jnp.asarray(ext_xy),
+                                                  pre_blurred=True))
+        ext_uv = np.asarray(self.cam.lift(jnp.asarray(ext_xy)))
+        return KeyframePacket(
+            client_id=self.client_id, timestamp=timestamp,
+            p_wb=p, q_wb=q, r_cb=self.r_cb, p_bc=self.p_bc,
+            win_pts3d=pts3d.astype(np.float32), win_uv=uv.astype(np.float32),
+            win_ids=ids.astype(np.int64), win_desc=desc,
+            win_valid=np.ones(len(idxs), bool),
+            ext_uv=ext_uv.astype(np.float32), ext_desc=ext_desc,
+            ext_valid=ext_ok, image=image)

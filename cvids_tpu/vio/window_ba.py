@@ -67,6 +67,11 @@ class WindowMeasurements(NamedTuple):
     prior: PriorFactor | None
     anchor_p: jax.Array  # (3,) gauge: pin p[0] here
     anchor_yaw: jax.Array  # () gauge: pin yaw of q[0] here
+    # weak absolute bias priors (1/sigma). Without a marginalization prior,
+    # a free accelerometer bias can absorb the specific-force signal and
+    # collapse monocular scale — these bound it to sensor-spec magnitudes.
+    ba_prior_weight: float = 10.0   # sigma 0.1 m/s^2
+    bg_prior_weight: float = 100.0  # sigma 0.01 rad/s
 
 
 def _delta_zero(state: WindowState):
@@ -146,7 +151,12 @@ def _all_residuals(state: WindowState, meas: WindowMeasurements,
         wrap_angle(yaw_of(state.q[0]) - meas.anchor_yaw)[None] * anchor_weight,
     ])
 
-    parts = [r_proj, r_imu, r_anchor]
+    kf_mask = state.kf_valid.astype(state.p.dtype)[:, None]
+    r_bias_prior = jnp.concatenate([
+        (state.ba * kf_mask).reshape(-1) * meas.ba_prior_weight,
+        (state.bg * kf_mask).reshape(-1) * meas.bg_prior_weight,
+    ])
+    parts = [r_proj, r_imu, r_anchor, r_bias_prior]
     if meas.prior is not None:
         dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
                         meas.prior.bg, meas.prior.ba, meas.prior.lm)

@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from cvids_tpu.io import render, synthetic
+from cvids_tpu.utils.config import AgentConfig, CameraConfig
+from cvids_tpu.utils.metrics import ate_rmse
+from cvids_tpu.vio.frontend import AgentFrontend
+
+
+@pytest.mark.slow
+def test_frontend_tracks_trajectory(rng):
+    # small camera for speed
+    cam_cfg = CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                           k1=0.0, k2=0.0, p1=0.0, p2=0.0,
+                           width=320, height=240)
+    cfg = AgentConfig(camera=cam_cfg, fast_threshold=12.0,
+                      min_feature_dist=24, max_solver_iterations=10)
+    fe = AgentFrontend(cfg, client_id=0)
+
+    traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
+                                       height_amp=0.2)
+    duration, kf_rate, imu_rate = 6.0, 2.0, 200.0
+    seq = synthetic.generate_sequence(traj, duration=duration, kf_rate=kf_rate,
+                                      imu_rate=imu_rate, num_landmarks=0,
+                                      gyr_noise=0.0005, acc_noise=0.01,
+                                      bg=(0.001, -0.001, 0.0005),
+                                      ba=(0.005, -0.01, 0.02))
+    # dense blob field in front of the trajectory
+    n_lm = 400
+    landmarks = np.stack([
+        rng.uniform(-12, 12, n_lm), rng.uniform(-12, 12, n_lm),
+        rng.uniform(0.0, 3.5, n_lm)], -1)
+    intens = rng.uniform(80, 200, n_lm)
+    r_cb = np.asarray(cfg.r_cb, np.float32)
+    p_bc = np.asarray(cfg.p_bc, np.float32)
+
+    from cvids_tpu.geometry import quat_to_matrix
+    import jax.numpy as jnp
+
+    g, a, dt, vmask = synthetic.imu_slices(seq)
+    packets = []
+    est, gt = [], []
+    k = len(seq.times_kf)
+    for i in range(k):
+        r_wb = np.asarray(quat_to_matrix(jnp.asarray(seq.q_gt[i], jnp.float32)))
+        img = render.render_blobs(fe.cam, landmarks, intens, r_wb, seq.p_gt[i],
+                                  r_cb, p_bc)
+        if i == 0:
+            pkt = fe.process_keyframe(seq.times_kf[i], img,
+                                      np.zeros((0, 3)), seq.acc[:5], np.zeros(0))
+        else:
+            sel = vmask[i - 1]
+            pkt = fe.process_keyframe(seq.times_kf[i], img,
+                                      g[i - 1][sel], a[i - 1][sel], dt[i - 1][sel])
+        if pkt is not None:
+            packets.append(pkt)
+            est.append(pkt.p_wb)
+            gt.append(seq.p_gt[i])
+
+    assert len(packets) >= k - 3, "frontend failed to initialize"
+    est = np.asarray(est)
+    gt = np.asarray(gt)
+    # the frontend's frame differs from GT by the 4-DoF gauge; skip the
+    # initialization transient (no dedicated visual-inertial initializer yet
+    # — scale converges over the first few keyframes)
+    from cvids_tpu.utils.metrics import umeyama
+    err = ate_rmse(est[4:], gt[4:], align="sim3")
+    assert err < 1.0, err
+    s, _, _ = umeyama(est[4:], gt[4:], with_scale=True)
+    assert 0.5 < s < 2.0, s  # metric scale recovered to the right ballpark
+    # packets carry usable content
+    last = packets[-1]
+    assert last.win_pts3d.shape[0] >= 8
+    assert last.ext_desc.shape[1] == 8
+    assert last.win_desc.dtype == np.uint32

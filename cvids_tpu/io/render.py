@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["render_blobs"]
+__all__ = ["render_blobs", "render_textured_scene", "default_scene"]
 
 
 def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
@@ -37,3 +37,70 @@ def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
             continue
         img[vi - rad:vi + rad + 1, ui - rad:ui + rad + 1] += inten * kernel
     return np.clip(img, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# ray-traced textured scenes (for dense-mapping tests: intensity + true depth)
+# ---------------------------------------------------------------------------
+
+def _value_noise(p: np.ndarray, scale: float = 2.0) -> np.ndarray:
+    """Cheap procedural 3-D texture: layered trigonometric value noise."""
+    x, y, z = p[..., 0] * scale, p[..., 1] * scale, p[..., 2] * scale
+    v = (np.sin(x * 1.7 + 0.3) * np.cos(y * 2.3 + 1.1)
+         + 0.6 * np.sin(y * 3.1 + z * 1.3)
+         + 0.4 * np.cos(x * 4.7 - z * 2.9)
+         + 0.25 * np.sin((x + y + z) * 7.1))
+    return 120.0 + 45.0 * v
+
+
+def default_scene():
+    """Floor z=0, wall y=3, box [1,2]x[0.5,1.5]x[0,1] — the room used by the
+    TSDF tests, now with texture for photometric depth estimation."""
+    return dict(floor_z=0.0, wall_y=3.0,
+                box_lo=np.array([1.0, 0.5, 0.0]),
+                box_hi=np.array([2.0, 1.5, 1.0]))
+
+
+def render_textured_scene(cam, r_wc: np.ndarray, t_wc: np.ndarray,
+                          scene: dict | None = None):
+    """Ray-trace the scene from camera pose (r_wc = cam axes in world,
+    t_wc = camera origin). Returns (intensity (H, W), depth (H, W) z-depth,
+    0 where no hit). Pinhole only (no distortion applied)."""
+    if scene is None:
+        scene = default_scene()
+    h, w = cam.height, cam.width
+    k = np.array([[float(cam.fx), 0, float(cam.cx)],
+                  [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
+    kinv = np.linalg.inv(k)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    rays = kinv @ np.stack([uu.ravel(), vv.ravel(), np.ones(h * w)])
+    rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+    d_w = r_wc @ rn
+    o = t_wc
+    ts = np.full(h * w, np.inf)
+    # floor
+    m = d_w[2] < -1e-6
+    with np.errstate(divide="ignore"):
+        t_f = (scene["floor_z"] - o[2]) / d_w[2]
+    ts = np.where(m & (t_f > 0), np.minimum(ts, t_f), ts)
+    # wall
+    m = np.abs(d_w[1]) > 1e-6
+    with np.errstate(divide="ignore"):
+        t_w = (scene["wall_y"] - o[1]) / d_w[1]
+    ts = np.where(m & (t_w > 0), np.minimum(ts, t_w), ts)
+    # box (slab test)
+    lo, hi = scene["box_lo"], scene["box_hi"]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo[:, None] - o[:, None]) / d_w
+        t2 = (hi[:, None] - o[:, None]) / d_w
+    tn = np.max(np.minimum(t1, t2), 0)
+    tf = np.min(np.maximum(t1, t2), 0)
+    hit_box = (tn < tf) & (tn > 0)
+    ts = np.where(hit_box, np.minimum(ts, tn), ts)
+
+    hit = np.isfinite(ts)
+    pts = o[None, :] + ts[:, None] * d_w.T
+    inten = np.where(hit, _value_noise(pts), 15.0)
+    depth = np.where(hit, ts * rn[2], 0.0)
+    return (inten.reshape(h, w).astype(np.float32),
+            depth.reshape(h, w).astype(np.float32))

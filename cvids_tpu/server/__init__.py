@@ -1,1 +1,1 @@
-from . import keyframe, optimizer, pcm, posegraph, vocab  # noqa: F401
+from . import keyframe, optimizer, pcm, pipeline, posegraph, vocab  # noqa: F401

@@ -88,10 +88,16 @@ def pairwise_consistency(
 def max_clique(adj: np.ndarray, exact_threshold: int = 18) -> np.ndarray:
     """Indices of a (near-)maximum clique of a boolean adjacency matrix.
 
-    Small graphs get exact branch-and-bound; larger ones the greedy
-    degree-guided heuristic (Pattabiraman et al., as the reference's
-    `maxCliqueHeu`). Diagonal is ignored.
+    Prefers the native C++ solver (`cvids_tpu.native`, the fmc-library
+    equivalent) when built; otherwise small graphs get exact Python
+    branch-and-bound and larger ones the greedy degree-guided heuristic
+    (Pattabiraman et al., as the reference's `maxCliqueHeu`).
     """
+    from .. import native
+    if native.available():
+        out = native.max_clique_native(adj)
+        if out is not None:
+            return out
     n = adj.shape[0]
     a = np.asarray(adj, bool).copy()
     np.fill_diagonal(a, False)

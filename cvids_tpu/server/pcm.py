@@ -47,6 +47,59 @@ def _inverse(a: FourDof) -> FourDof:
                    -jnp.einsum("...ij,...j->...i", rot_z(-a.yaw), a.t))
 
 
+def chain_cov(pose: FourDof, idx_a: jax.Array, idx_b: jax.Array,
+              step_sigma_t: float, step_sigma_yaw: float,
+              rot_to_frame_a: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Odometry-chain covariance of the relative 4-DoF transform between
+    keyframes `idx_a` and `idx_b` of one client, from prefix sums.
+
+    The reference walks the odometry chain per edge pair
+    (`DeterminePropChainCov`, `server_keyframe.h:153-556` — O(chain) per
+    pair); here the per-step noise accumulates in closed form:
+
+      Σ_t(a,b) = σ_t²·n·I + σ_y²· ẑ× M ×ẑᵀ ,  σ_yaw²(a,b) = σ_y²·n
+      M = Σ_k (t_b - t_k)(t_b - t_k)ᵀ  (k over the chain)
+
+    and M reduces to the prefix sums S1 = Σ t_k, S2 = Σ t_k t_kᵀ — so every
+    pair costs O(1) after one O(N) cumulative-sum pass (the SURVEY §5.7
+    prefix-scan formulation). Isotropic per-step translation noise makes the
+    rotation conjugations drop out; the ẑ× projection is applied in frame a
+    via `rot_to_frame_a` (E, 3, 3).
+
+    Returns (cov_t (..., 3, 3), var_yaw (...,)).
+    """
+    t = pose.t  # (N, 3) client-local positions
+    n_nodes = t.shape[0]
+    s1 = jnp.cumsum(t, axis=0)                      # (N, 3)
+    s2 = jnp.cumsum(t[:, :, None] * t[:, None, :], axis=0)  # (N, 3, 3)
+    lo = jnp.minimum(idx_a, idx_b)
+    hi = jnp.maximum(idx_a, idx_b)
+    n_steps = (hi - lo).astype(t.dtype)
+    # sums over k in [lo, hi): S1(hi-1) - S1(lo-1)
+    def seg(s, a, b):
+        sa = jnp.where((a > 0)[..., None], s[jnp.maximum(a - 1, 0)], 0.0)
+        return s[jnp.maximum(b - 1, 0)] - sa
+    def seg2(s, a, b):
+        sa = jnp.where((a > 0)[..., None, None], s[jnp.maximum(a - 1, 0)], 0.0)
+        return s[jnp.maximum(b - 1, 0)] - sa
+    s1_seg = seg(s1, lo, hi)
+    s2_seg = seg2(s2, lo, hi)
+    t_b = t[hi]
+    m = (n_steps[..., None, None] * t_b[..., :, None] * t_b[..., None, :]
+         - t_b[..., :, None] * s1_seg[..., None, :]
+         - s1_seg[..., :, None] * t_b[..., None, :] + s2_seg)
+    # ẑ× M ×ẑᵀ in frame a: rotate M then apply hat(z) sandwich
+    m_a = jnp.einsum("...ij,...jk,...lk->...il", rot_to_frame_a, m, rot_to_frame_a)
+    zhat = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                       t.dtype)
+    yaw_term = zhat @ m_a @ zhat.T
+    cov_t = (step_sigma_t ** 2 * jnp.maximum(n_steps, 1.0)[..., None, None]
+             * jnp.eye(3, dtype=t.dtype)
+             + step_sigma_yaw ** 2 * yaw_term)
+    var_yaw = step_sigma_yaw ** 2 * jnp.maximum(n_steps, 1.0)
+    return cov_t, var_yaw
+
+
 def pairwise_consistency(
     edge_T: FourDof,            # (E,) measured relative transform i->j
     pose_i: FourDof,            # (E,) odometry pose of endpoint i (client a local frame)
@@ -55,16 +108,21 @@ def pairwise_consistency(
     sigma_t: float = 0.1,
     sigma_yaw: float = 0.05,
     gamma: float = 5.0,
+    chain: tuple | None = None,
 ) -> jax.Array:
     """(E, E) bool consistency matrix.
 
     odo_a(i1→i2) = pose_i1⁻¹ ∘ pose_i2 etc. — odometry is read straight from
     the clients' local (VIO) poses, which is equivalent to the reference's
-    chained relative odometry. The whitened cycle error uses fixed sigmas
-    (the reference propagates odometry-chain covariance; a fixed-sigma gate
-    is the first-order version — chain covariance is an upgrade path).
+    chained relative odometry.
+
+    Whitening: with `chain=None`, fixed sigmas (first-order gate). With
+    `chain=(all_pose_a, idx_i, all_pose_b, idx_j, step_sigma_t,
+    step_sigma_yaw)`, the cycle error is whitened by the odometry-chain
+    covariance of both legs computed via `chain_cov` prefix sums — the
+    reference's Mahalanobis PCM (`pcm_graph.cpp:195-268`).
     """
-    def err(a_idx, b_idx):
+    def cycle_of(a_idx, b_idx):
         t1 = jax.tree_util.tree_map(lambda x: x[a_idx], edge_T)
         t2 = jax.tree_util.tree_map(lambda x: x[b_idx], edge_T)
         pi1 = jax.tree_util.tree_map(lambda x: x[a_idx], pose_i)
@@ -73,14 +131,30 @@ def pairwise_consistency(
         pj2 = jax.tree_util.tree_map(lambda x: x[b_idx], pose_j)
         odo_a = _compose(_inverse(pi1), pi2)
         odo_b = _compose(_inverse(pj2), pj1)
-        cycle = _compose(_compose(_compose(_inverse(t1), odo_a), t2), odo_b)
-        e = (jnp.sum((cycle.t / sigma_t) ** 2, axis=-1)
-             + (cycle.yaw / sigma_yaw) ** 2)
-        return e
+        return _compose(_compose(_compose(_inverse(t1), odo_a), t2), odo_b)
 
     e_count = edge_T.yaw.shape[0]
     ii = jnp.arange(e_count)
-    errs = jax.vmap(lambda a: jax.vmap(lambda b: err(a, b))(ii))(ii)
+    cycles = jax.vmap(lambda a: jax.vmap(lambda b: cycle_of(a, b))(ii))(ii)
+
+    if chain is None:
+        errs = (jnp.sum((cycles.t / sigma_t) ** 2, axis=-1)
+                + (cycles.yaw / sigma_yaw) ** 2)
+    else:
+        all_pose_a, idx_i, all_pose_b, idx_j, st_sig, sy_sig = chain
+        r_a = rot_z(-pose_i.yaw)  # rotate into the frame of endpoint i1
+        # pairwise chain covariances of both odometry legs
+        cov_a, vy_a = chain_cov(all_pose_a, idx_i[:, None], idx_i[None, :],
+                                st_sig, sy_sig, r_a[:, None])
+        cov_b, vy_b = chain_cov(all_pose_b, idx_j[:, None], idx_j[None, :],
+                                st_sig, sy_sig, r_a[:, None])
+        meas_t = sigma_t ** 2
+        meas_y = sigma_yaw ** 2
+        cov = cov_a + cov_b + 2.0 * meas_t * jnp.eye(3)
+        vyaw = vy_a + vy_b + 2.0 * meas_y
+        sol = jnp.linalg.solve(cov, cycles.t[..., None])[..., 0]
+        errs = jnp.einsum("...i,...i->...", cycles.t, sol) \
+            + cycles.yaw ** 2 / vyaw
     ok = (errs < gamma ** 2) & valid[:, None] & valid[None, :]
     return ok & ok.T
 
@@ -149,7 +223,7 @@ def max_clique(adj: np.ndarray, exact_threshold: int = 18) -> np.ndarray:
 def pcm_filter(edge_T: FourDof, pose_i: FourDof, pose_j: FourDof,
                valid: np.ndarray, min_edges: int = 20,
                sigma_t: float = 0.1, sigma_yaw: float = 0.05,
-               gamma: float = 5.0) -> np.ndarray:
+               gamma: float = 5.0, chain: tuple | None = None) -> np.ndarray:
     """Full PCM pass for one client pair: consistency matrix (device) +
     max clique (host). Returns (E,) bool mask of surviving edges.
 
@@ -161,7 +235,7 @@ def pcm_filter(edge_T: FourDof, pose_i: FourDof, pose_j: FourDof,
         return valid
     adj = np.asarray(pairwise_consistency(edge_T, pose_i, pose_j,
                                           jnp.asarray(valid),
-                                          sigma_t, sigma_yaw, gamma))
+                                          sigma_t, sigma_yaw, gamma, chain))
     clique = max_clique(adj)
     out = np.zeros_like(valid)
     out[clique] = True

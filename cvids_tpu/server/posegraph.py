@@ -75,6 +75,11 @@ class ServerConfig:
     pcm_gamma: float = 5.0
     pcm_sigma_t: float = 0.1
     pcm_sigma_yaw: float = 0.05
+    # odometry-chain covariance whitening (the reference's Mahalanobis PCM);
+    # per-keyframe-step odometry noise
+    pcm_chain_cov: bool = True
+    pcm_step_sigma_t: float = 0.02
+    pcm_step_sigma_yaw: float = 0.005
 
 
 @dataclass
@@ -386,11 +391,33 @@ class CollaborativePoseGraph:
                                 jnp.float32)
             pose_i = pcm_mod.FourDof(yaw_i, jnp.asarray(st.vio_p[li[es]]))
             pose_j = pcm_mod.FourDof(yaw_j, jnp.asarray(st.vio_p[lj[es]]))
+            chain = None
+            if cfg.pcm_chain_cov:
+                # full per-client odometry chains ordered by local index,
+                # so the prefix-sum covariance can address any chain segment
+                cid_a = int(st.client[li[es][0]])
+                cid_b = int(st.client[lj[es][0]])
+                chain = (self._client_chain(cid_a),
+                         jnp.asarray(st.local_index[li[es]]),
+                         self._client_chain(cid_b),
+                         jnp.asarray(st.local_index[lj[es]]),
+                         cfg.pcm_step_sigma_t, cfg.pcm_step_sigma_yaw)
             keep = pcm_mod.pcm_filter(edge_T, pose_i, pose_j,
                                       np.ones(len(es), bool),
                                       cfg.pcm_min_edges, cfg.pcm_sigma_t,
-                                      cfg.pcm_sigma_yaw, cfg.pcm_gamma)
+                                      cfg.pcm_sigma_yaw, cfg.pcm_gamma,
+                                      chain=chain)
             self.loop_pcm_ok[es] = keep
+
+    def _client_chain(self, cid: int) -> pcm_mod.FourDof:
+        """One client's full odometry chain (local frame), local-index order."""
+        st = self.store
+        n = st.count
+        sel = np.nonzero(st.client[:n] == cid)[0]
+        order = sel[np.argsort(st.local_index[sel])]
+        yaws = np.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in order],
+                          np.float32)
+        return pcm_mod.FourDof(jnp.asarray(yaws), jnp.asarray(st.vio_p[order]))
 
     def optimize(self):
         """4-DoF solve over aligned keyframes + drift propagation

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Collaborative SLAM on EuRoC sequences (requires the dataset on disk).
+
+Replaces the reference's rosbag replay (`roslaunch server_pose_graph
+collaborative.launch` against EuRoC bags): each `--seq` directory becomes one
+agent whose front-end runs on the real images + IMU, streaming keyframes into
+the collaborative server. Scores ATE against the dataset ground truth.
+
+    python examples/run_euroc.py --seq /data/MH_01 --seq /data/MH_02
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", action="append", required=True,
+                    help="EuRoC sequence root (contains mav0/)")
+    ap.add_argument("--kf-stride", type=int, default=10,
+                    help="use every Nth camera frame as a keyframe (EuRoC "
+                         "cameras run 20 Hz; 2 keyframes/s by default)")
+    ap.add_argument("--max-kf", type=int, default=200)
+    ap.add_argument("--tum-prefix", type=str, default=None)
+    args = ap.parse_args()
+
+    from cvids_tpu.io import euroc
+    for root in args.seq:
+        if not euroc.available(root):
+            print(f"EuRoC sequence not found at {root} (need mav0/imu0/"
+                  f"data.csv)", file=sys.stderr)
+            return 2
+
+    from cvids_tpu.server import posegraph, vocab
+    from cvids_tpu.utils.config import AgentConfig
+    from cvids_tpu.utils.metrics import ate_rmse
+    from cvids_tpu.vio.frontend import AgentFrontend
+
+    seqs = [euroc.load_euroc(r) for r in args.seq]
+    frontends = [AgentFrontend(AgentConfig(), cid) for cid in range(len(seqs))]
+
+    # collect packets per agent (vocabulary trained on the first agent's
+    # descriptors, as the reference trains DBoW on generic imagery)
+    all_packets = [[] for _ in seqs]
+    for cid, (seq, fe) in enumerate(zip(seqs, frontends)):
+        frame_ids = range(0, min(len(seq.cam_t),
+                                 args.max_kf * args.kf_stride),
+                          args.kf_stride)
+        prev_t = None
+        for fi in frame_ids:
+            t = seq.cam_t[fi]
+            img = seq.load_image(fi)
+            if prev_t is None:
+                sel = (seq.imu_t >= t - 0.1) & (seq.imu_t < t)
+                pkt = fe.process_keyframe(t, img, np.zeros((0, 3)),
+                                          seq.acc[sel], np.zeros(0))
+            else:
+                sel = (seq.imu_t >= prev_t) & (seq.imu_t < t)
+                ts = seq.imu_t[sel]
+                dts = np.diff(np.append(ts, t))
+                pkt = fe.process_keyframe(t, img, seq.gyr[sel], seq.acc[sel],
+                                          dts)
+            prev_t = t
+            if pkt is not None:
+                all_packets[cid].append(pkt)
+        print(f"agent {cid}: {len(all_packets[cid])} keyframes")
+
+    descs = np.concatenate([p.ext_desc[p.ext_valid]
+                            for pkts in all_packets for p in pkts[:40]])
+    voc = vocab.train_vocabulary(descs[:5000], k=10, levels=3, seed=0)
+    server = posegraph.CollaborativePoseGraph(
+        voc, posegraph.ServerConfig(kf_capacity=2048))
+    # interleave by timestamp
+    merged = sorted([p for pkts in all_packets for p in pkts],
+                    key=lambda p: p.timestamp)
+    for p in merged:
+        server.add_keyframe(p)
+    server.optimize()
+    print(f"loops: {server.loop_count}, aligned: "
+          f"{[server.clients[c].aligned for c in range(len(seqs))]}")
+    for cid, seq in enumerate(seqs):
+        tr = server.trajectory(cid)
+        if args.tum_prefix:
+            from cvids_tpu.io import tum
+            tum.write_tum(f"{args.tum_prefix}{cid}.txt", tr)
+        if seq.gt_t is not None and len(tr):
+            gt_p = np.stack([np.interp(tr[:, 0], seq.gt_t, seq.gt_p[:, k])
+                             for k in range(3)], -1)
+            print(f"agent {cid}: ATE (sim3) "
+                  f"{ate_rmse(tr[:, 1:4], gt_p, 'sim3') * 100:.1f} cm")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

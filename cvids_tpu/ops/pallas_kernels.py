@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for the framework's hot inner ops.
+
+These are the hand-scheduled versions of ops whose XLA formulations already
+work everywhere (`ops.hamming`, `ops.depth_filter`): the Pallas path keeps
+operand tiles resident in VMEM and fuses the full update into one pass —
+no HBM round-trips between the XOR/popcount/reduce (matcher) or the
+mixture-posterior algebra (filter). On non-TPU backends the public wrappers
+fall back to the XLA implementations (bit-identical semantics, tested
+against each other; the kernels themselves run under `interpret=True` in CI).
+
+Kernels:
+- `hamming_matrix`: (N, 8) x (M, 8) uint32 -> (N, M) int32 popcount
+  distances, tiled 128x128 over the VPU.
+- `depth_filter_update`: fused Gaussian×Beta inverse-depth filter step over
+  (H, W) tiles (the reference's `FusionFilterKernel`, `calc_cost.cu:552-683`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import depth_filter as df_xla
+from . import hamming as hamming_xla
+
+__all__ = ["hamming_matrix", "depth_filter_update", "pallas_supported"]
+
+
+def pallas_supported() -> bool:
+    return jax.default_backend() in ("tpu",)
+
+
+# ---------------------------------------------------------------------------
+# Hamming distance matrix
+# ---------------------------------------------------------------------------
+
+_TILE_N = 128
+_TILE_M = 128
+
+
+def _hamming_kernel(a_ref, b_ref, out_ref):
+    # a: (TILE_N, 8) uint32; b: (TILE_M, 8) uint32; out: (TILE_N, TILE_M)
+    a = a_ref[:]          # (TN, 8)
+    b = b_ref[:]          # (TM, 8)
+    x = a[:, None, :] ^ b[None, :, :]          # (TN, TM, 8)
+    pc = jax.lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = jnp.sum(pc, axis=-1)
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def hamming_matrix(a: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    """Pallas pairwise Hamming distances; same contract as
+    `ops.hamming.hamming_distance_matrix` without validity masking."""
+    n, m = a.shape[0], b.shape[0]
+    tn = -(-n // _TILE_N) * _TILE_N
+    tm = -(-m // _TILE_M) * _TILE_M
+    a_p = _pad_to(a, tn, 0)
+    b_p = _pad_to(b, tm, 0)
+    grid = (tn // _TILE_N, tm // _TILE_M)
+    out = pl.pallas_call(
+        _hamming_kernel,
+        out_shape=jax.ShapeDtypeStruct((tn, tm), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_N, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_M, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, _TILE_M), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(a_p, b_p)
+    return out[:n, :m]
+
+
+def hamming_distance_matrix(a, b, a_valid=None, b_valid=None):
+    """Drop-in for `ops.hamming.hamming_distance_matrix`: Pallas on TPU,
+    XLA elsewhere."""
+    if pallas_supported():
+        d = hamming_matrix(a, b)
+        if a_valid is not None:
+            d = jnp.where(a_valid[:, None], d, 512)
+        if b_valid is not None:
+            d = jnp.where(b_valid[None, :], d, 512)
+        return d
+    return hamming_xla.hamming_distance_matrix(a, b, a_valid, b_valid)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian × Beta depth-filter update
+# ---------------------------------------------------------------------------
+
+_TILE_H = 8
+_TILE_W = 128
+
+
+def _filter_kernel(mu_ref, s2_ref, a_ref, b_ref, x_ref, tau2_ref, valid_ref,
+                   mu_o, s2_o, a_o, b_o, *, mu_lo, mu_hi):
+    mu, s2 = mu_ref[:], s2_ref[:]
+    a, b = a_ref[:], b_ref[:]
+    x, tau2 = x_ref[:], tau2_ref[:]
+    meas_valid = valid_ref[:] != 0
+
+    norm_scale2 = s2 + tau2
+    s = 1.0 / (1.0 / jnp.maximum(s2, 1e-12) + 1.0 / jnp.maximum(tau2, 1e-12))
+    m = s * (mu / jnp.maximum(s2, 1e-12) + x / jnp.maximum(tau2, 1e-12))
+    pdf = jnp.exp(-0.5 * (x - mu) ** 2 / jnp.maximum(norm_scale2, 1e-12)) \
+        * jax.lax.rsqrt(2 * jnp.pi * jnp.maximum(norm_scale2, 1e-12))
+    uniform = 1.0 / (mu_hi - mu_lo)
+    c1 = a / (a + b) * pdf
+    c2 = b / (a + b) * uniform
+    denom = jnp.maximum(c1 + c2, 1e-12)
+    c1, c2 = c1 / denom, c2 / denom
+    f = c1 * (a + 1.0) / (a + b + 1.0) + c2 * a / (a + b + 1.0)
+    e = c1 * (a + 1.0) * (a + 2.0) / ((a + b + 1.0) * (a + b + 2.0)) \
+        + c2 * a * (a + 1.0) / ((a + b + 1.0) * (a + b + 2.0))
+    mu_new = c1 * m + c2 * mu
+    s2_new = c1 * (s + m * m) + c2 * (s2 + mu * mu) - mu_new * mu_new
+    a_new = (e - f) / (f - e / jnp.maximum(f, 1e-12))
+    b_new = a_new * (1.0 - f) / jnp.maximum(f, 1e-12)
+
+    hard_out = (x < mu_lo) | (x > mu_hi) | ~meas_valid
+    keep = lambda new, old: jnp.where(hard_out, old, new)
+    mu_o[:] = keep(mu_new, mu)
+    s2_o[:] = jnp.maximum(keep(s2_new, s2), 1e-10)
+    a_o[:] = keep(a_new, a)
+    b_o[:] = keep(b_new, jnp.where(meas_valid, b + 1.0, b))
+
+
+@partial(jax.jit, static_argnames=("mu_lo", "mu_hi", "interpret"))
+def depth_filter_update(state: df_xla.FilterState, x: jax.Array,
+                        tau2: jax.Array, meas_valid: jax.Array,
+                        mu_lo: float = 0.01, mu_hi: float = 100.0,
+                        interpret: bool = False) -> df_xla.FilterState:
+    """Pallas fused filter update; contract of `ops.depth_filter.update`."""
+    h, w = state.mu.shape
+    th = -(-h // _TILE_H) * _TILE_H
+    tw = -(-w // _TILE_W) * _TILE_W
+    pad2 = lambda arr: _pad_to(_pad_to(arr, th, 0), tw, 1)
+    args = [pad2(state.mu), pad2(state.sigma2), pad2(state.a), pad2(state.b),
+            pad2(x), pad2(jnp.broadcast_to(tau2, (h, w))),
+            pad2(meas_valid.astype(jnp.int32))]
+    grid = (th // _TILE_H, tw // _TILE_W)
+    spec = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((th, tw), jnp.float32)
+    mu, s2, a, b = pl.pallas_call(
+        partial(_filter_kernel, mu_lo=mu_lo, mu_hi=mu_hi),
+        out_shape=(shape, shape, shape, shape),
+        grid=grid,
+        in_specs=[spec] * 7,
+        out_specs=(spec, spec, spec, spec),
+        interpret=interpret,
+    )(*args)
+    crop = lambda arr: arr[:h, :w]
+    return df_xla.FilterState(crop(mu), crop(s2), crop(a), crop(b))

@@ -26,7 +26,8 @@ from ..geometry import quat_multiply, quat_normalize, quat_rotate, quat_inverse,
 from .imu import Preintegrated, imu_residual
 
 __all__ = ["WindowState", "WindowMeasurements", "PriorFactor", "solve_window",
-           "triangulate", "reprojection_residuals", "marginalize_prior"]
+           "solve_window_schur", "triangulate", "reprojection_residuals",
+           "marginalize_prior"]
 
 
 class WindowState(NamedTuple):
@@ -212,6 +213,106 @@ def solve_window(state: WindowState, meas: WindowMeasurements,
         return (st_out, lam_out, cost_out), cost_out
 
     cost0 = 0.5 * jnp.sum(res_at(state) ** 2)
+    (state_f, _, cost_f), _ = jax.lax.scan(
+        lm_step, (state, jnp.asarray(init_lambda, state.p.dtype), cost0),
+        None, length=iters)
+    return state_f, cost_f
+
+
+def solve_window_schur(state: WindowState, meas: WindowMeasurements,
+                       iters: int = 8, init_lambda: float = 1e-3,
+                       anchor_weight: float = 1e3) -> tuple[WindowState, jax.Array]:
+    """LM with Schur-complement landmark elimination.
+
+    The reference's Ceres problem eliminates landmarks implicitly via its
+    sparse solver; the classic BA structure is explicit here: every
+    reprojection residual touches one landmark, so H_ll is 3×3
+    block-diagonal. Per LM step:
+
+      H_red = H_cc − H_cl H_ll⁻¹ H_lc      (reduced camera system, K·15 wide)
+      dc    = solve(H_red, −g_red)
+      dl_l  = H_ll,l⁻¹ (−g_l − H_cl,lᵀ dc)  (vmapped 3×3 back-substitution)
+
+    The reduced system is what gets all-reduced across hosts in the
+    distributed setting (camera states replicated, landmark blocks sharded);
+    this single-chip version is the kernel of that plan (BASELINE.json).
+    Same contract/semantics as `solve_window`.
+    """
+    k = state.p.shape[0]
+    l = state.lm.shape[0]
+    pc = k * 15  # camera-block tangent size (p, th, v, bg, ba)
+
+    def split_res(dc_flat, dl_flat, st):
+        """Residuals as a function of (camera tangent, landmark tangent)."""
+        dc = dict(dp=dc_flat[0:k * 3].reshape(k, 3),
+                  dth=dc_flat[k * 3:k * 6].reshape(k, 3),
+                  dv=dc_flat[k * 6:k * 9].reshape(k, 3),
+                  dbg=dc_flat[k * 9:k * 12].reshape(k, 3),
+                  dba=dc_flat[k * 12:k * 15].reshape(k, 3),
+                  dlm=dl_flat.reshape(l, 3))
+        return _all_residuals(retract(st, dc), meas, anchor_weight)
+
+    zc = jnp.zeros(pc, state.p.dtype)
+    zl = jnp.zeros(l * 3, state.p.dtype)
+
+    def lm_step(carry, _):
+        st, lam, cost = carry
+        r0 = split_res(zc, zl, st)
+        j_c = jax.jacfwd(lambda dc: split_res(dc, zl, st))(zc)   # (R, Pc)
+        j_l = jax.jacfwd(lambda dl: split_res(zc, dl, st))(zl)   # (R, 3L)
+        j_l3 = j_l.reshape(-1, l, 3)                             # (R, L, 3)
+
+        h_cc = j_c.T @ j_c
+        g_c = j_c.T @ r0
+        h_ll = jnp.einsum("rla,rlb->lab", j_l3, j_l3)            # (L, 3, 3)
+        g_l = jnp.einsum("rla,r->la", j_l3, r0)                  # (L, 3)
+        h_cl = jnp.einsum("rc,rla->cla", j_c, j_l3)              # (Pc, L, 3)
+
+        # Marquardt damping on both blocks
+        d_cc = jnp.diag(h_cc)
+        h_cc_d = h_cc + jnp.diag(lam * (d_cc + 1e-6))
+        eye3 = jnp.eye(3, dtype=h_ll.dtype)
+        h_ll_d = h_ll + lam * (jax.vmap(jnp.diag)(
+            jax.vmap(jnp.diag)(h_ll)) + 1e-6 * eye3)
+        # guard unobserved landmarks (zero blocks): make them identity so the
+        # inverse is finite; their back-substituted update is 0 anyway
+        observed = jnp.einsum("lab->l", jnp.abs(h_ll)) > 1e-12
+        h_ll_d = jnp.where(observed[:, None, None], h_ll_d, eye3)
+        h_ll_inv = jnp.linalg.inv(h_ll_d)                        # (L, 3, 3)
+
+        # reduced camera system
+        w_mat = jnp.einsum("cla,lab->clb", h_cl, h_ll_inv)       # (Pc, L, 3)
+        h_red = h_cc_d - jnp.einsum("clb,dlb->cd", w_mat, h_cl)
+        g_red = g_c - jnp.einsum("clb,lb->c", w_mat, g_l)
+        d = 1.0 / jnp.sqrt(jnp.diag(h_red) + 1e-12)
+        dc = d * jax.scipy.linalg.solve(h_red * d[:, None] * d[None, :],
+                                        -(g_red * d), assume_a="pos")
+        # back-substitute landmarks
+        rhs = -g_l - jnp.einsum("cla,c->la", h_cl, dc)           # (L, 3)
+        dl = jnp.einsum("lab,lb->la", h_ll_inv, rhs)
+        dl = jnp.where(observed[:, None], dl, 0.0)
+
+        st_new = retract(st, dict(
+            dp=dc[0:k * 3].reshape(k, 3), dth=dc[k * 3:k * 6].reshape(k, 3),
+            dv=dc[k * 6:k * 9].reshape(k, 3), dbg=dc[k * 9:k * 12].reshape(k, 3),
+            dba=dc[k * 12:k * 15].reshape(k, 3), dlm=dl))
+        cost_new = 0.5 * jnp.sum(split_res(zc, zl, st_new) ** 2)
+        accept = cost_new < cost
+        # Nielsen gain-ratio damping, predicted reduction from block form
+        g_term = g_c @ dc + jnp.einsum("la,la->", g_l, dl)
+        q_cc = dc @ (h_cc @ dc)
+        q_cl = 2.0 * jnp.einsum("c,cla,la->", dc, h_cl, dl)
+        q_ll = jnp.einsum("la,lab,lb->", dl, h_ll, dl)
+        pred = -g_term - 0.5 * (q_cc + q_cl + q_ll)
+        rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        st_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), st_new, st)
+        lam_out = jnp.where(accept, jnp.maximum(lam * shrink, 1e-10),
+                            jnp.minimum(lam * 4.0, 1e8))
+        return (st_out, lam_out, jnp.where(accept, cost_new, cost)), None
+
+    cost0 = 0.5 * jnp.sum(split_res(zc, zl, state) ** 2)
     (state_f, _, cost_f), _ = jax.lax.scan(
         lm_step, (state, jnp.asarray(init_lambda, state.p.dtype), cost0),
         None, length=iters)

@@ -158,3 +158,15 @@ def test_marginalization_prior_keeps_information(rng):
     # marginalized columns are (near) zero
     jp = np.asarray(j_prior)
     assert np.abs(jp[:, mask]).max() < 1e-3 * max(1.0, np.abs(jp).max())
+
+
+def test_schur_solver_matches_dense(rng):
+    seq = make_seq(duration=5.0, num_landmarks=40, seed=3)
+    state, meas = _build_problem(seq, perturb=0.1, rng=rng)
+    dense_out, dense_cost = ba.solve_window(state, meas, iters=12)
+    schur_out, schur_cost = ba.solve_window_schur(state, meas, iters=12)
+    # both reach (nearly) the same optimum
+    assert float(schur_cost) < 1.2 * float(dense_cost) + 5.0
+    ate_d = np.sqrt(np.mean(np.linalg.norm(np.asarray(dense_out.p) - seq.p_gt, axis=1) ** 2))
+    ate_s = np.sqrt(np.mean(np.linalg.norm(np.asarray(schur_out.p) - seq.p_gt, axis=1) ** 2))
+    assert ate_s < max(1.5 * ate_d, 0.1), (ate_s, ate_d)

@@ -155,3 +155,69 @@ def finalize(cfg: DenseConfig, state: DenseState,
     ok = depth_filter.converged_mask(state.filt, ratio)
     ok = ok & (state.num_frames >= cfg.min_frames)
     return state.filt.mu, ok
+
+
+def propagate_reference(cfg: DenseConfig, prev: DenseState,
+                        new_ref_img: jax.Array,
+                        r_no: jax.Array, t_no: jax.Array,
+                        k_mat: jax.Array,
+                        sparse_bias: jax.Array | None = None) -> DenseState:
+    """Start a new reference keyframe seeded from the previous one's filter
+    state (`DepthEstimator::PropogateFromPreviousFrame`,
+    `depth_estimator.cpp:610-635`): the old per-pixel Gaussian×Beta state is
+    forward-warped through the relative transform old-cam -> new-cam, so
+    depth knowledge survives reference switches instead of restarting cold.
+    """
+    st = init_reference(cfg, new_ref_img)
+    filt = depth_filter.propagate(prev.filt, r_no, t_no, k_mat,
+                                  jnp.linalg.inv(k_mat))
+    if sparse_bias is not None:
+        st = st._replace(sparse_bias=sparse_bias)
+    return st._replace(filt=filt)
+
+
+def regularize_depth(state: DenseState, strength: float = 1.0) -> DenseState:
+    """Covariance-weighted 3×3 smoothing of the inverse-depth map
+    (`DepthEstimator::RegularizeDepthMap`, `depth_estimator.cpp:696-758`):
+    each pixel averages its neighborhood with weights 1/(sigma² + eps),
+    pulled toward the center by `strength`; only converged-ish pixels vote.
+    """
+    mu, s2 = state.filt.mu, state.filt.sigma2
+    w = 1.0 / (s2 + 1e-4)
+    w = w * (state.filt.a / jnp.maximum(state.filt.a + state.filt.b, 1e-9))
+    num = jnp.zeros_like(mu)
+    den = jnp.zeros_like(mu)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            wgt = 1.0 if (dy, dx) == (0, 0) else strength / jnp.sqrt(
+                jnp.asarray(float(dy * dy + dx * dx)))
+            mu_s = jnp.roll(jnp.roll(mu, dy, 0), dx, 1)
+            w_s = jnp.roll(jnp.roll(w, dy, 0), dx, 1) * wgt
+            num = num + mu_s * w_s
+            den = den + w_s
+    mu_new = jnp.where(den > 1e-9, num / jnp.maximum(den, 1e-9), mu)
+    return state._replace(filt=state.filt._replace(mu=mu_new))
+
+
+def validate_photometric(cfg: DenseConfig, state: DenseState,
+                         meas_img: jax.Array, a_mat: jax.Array,
+                         b_vec: jax.Array,
+                         max_err: float = 20.0) -> jax.Array:
+    """Photometric validation mask (`DepthEstimator::Validate`,
+    `depth_estimator.cpp:639-691`): warp each reference pixel into the
+    measurement frame at its *estimated* inverse depth and keep pixels whose
+    absolute intensity error is below `max_err`.
+    """
+    from ..ops.image import bilinear_sample
+    h, w = cfg.height, cfg.width
+    u = jnp.arange(w, dtype=jnp.float32)
+    v = jnp.arange(h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(u, v)
+    base = jnp.einsum("ij,jhw->ihw", a_mat,
+                      jnp.stack([uu, vv, jnp.ones_like(uu)]))
+    p = base + b_vec[:, None, None] * state.filt.mu[None]
+    z = jnp.where(jnp.abs(p[2]) > 1e-6, p[2], 1e-6)
+    coords = jnp.stack([p[0] / z, p[1] / z], axis=-1)
+    warped = bilinear_sample(meas_img.astype(jnp.float32), coords, fill=jnp.nan)
+    err = jnp.abs(warped - state.ref_img)
+    return jnp.isfinite(err) & (err < max_err)

@@ -174,16 +174,30 @@ class CollaborativeServer:
         if ds.fused >= cfg.min_fused_frames and ds.since_ref >= cfg.ref_advance:
             with self.tracer.span("fuse"):
                 self._finalize_and_integrate(cid, ds, k)
-            self.dense_state[cid] = self._new_reference(pkt, idx)
+            self.dense_state[cid] = self._new_reference(pkt, idx, prev=ds, k=k)
 
-    def _new_reference(self, pkt: KeyframePacket, idx: int) -> _DenseClientState:
+    def _new_reference(self, pkt: KeyframePacket, idx: int,
+                       prev: _DenseClientState | None = None,
+                       k: np.ndarray | None = None) -> _DenseClientState:
         cfg = self.cfg.dense
         img = pkt.image
         if img.shape != (cfg.height, cfg.width):
             raise ValueError(
                 f"dense config expects {cfg.height}x{cfg.width} images, "
                 f"got {img.shape} — set PipelineConfig.dense accordingly")
-        state = estimator.init_reference(cfg, jnp.asarray(img, jnp.float32))
+        img_j = jnp.asarray(img, jnp.float32)
+        if prev is not None and k is not None:
+            # seed the new reference's filter from the previous one
+            # (`PropogateFromPreviousFrame`)
+            r_wc_old, t_wc_old = self._world_cam_pose(prev.ref_index)
+            r_wc_new, t_wc_new = self._world_cam_pose(idx)
+            r_no = r_wc_new.T @ r_wc_old
+            t_no = r_wc_new.T @ (t_wc_old - t_wc_new)
+            state = estimator.propagate_reference(
+                cfg, prev.state, img_j, jnp.asarray(r_no, jnp.float32),
+                jnp.asarray(t_no, jnp.float32), jnp.asarray(k, jnp.float32))
+        else:
+            state = estimator.init_reference(cfg, img_j)
         return _DenseClientState(ref_index=idx, state=state, fused=0,
                                  since_ref=0)
 

@@ -164,3 +164,54 @@ def test_dense_pipeline_end_to_end(rng):
     assert okc.mean() > 0.5, okc.mean()
     med = np.median(est[okc])
     assert abs(med - depth) < 0.3, med
+
+
+def test_propagate_reference_carries_depth(rng):
+    cfg = estimator.DenseConfig(height=H, width=W, num_depths=D,
+                                dep_sample=float(inv_depth_grid()[1] - inv_depth_grid()[0]))
+    ref, views, k = textured_plane_views(rng, depth=2.0, baselines=(0.1, 0.15, 0.2))
+    st = estimator.init_reference(cfg, jnp.asarray(ref))
+    for meas, a_mat, b_vec in views:
+        st = estimator.fuse_measurement(cfg, st, jnp.asarray(meas),
+                                        jnp.asarray(a_mat), jnp.asarray(b_vec))
+    # new reference = same camera (identity transform): filter state carries
+    st2 = estimator.propagate_reference(cfg, st, jnp.asarray(ref),
+                                        jnp.eye(3), jnp.zeros(3),
+                                        jnp.asarray(k, jnp.float32))
+    crop = (slice(12, -12), slice(12, -12))
+    mu_err = np.abs(np.asarray(st2.filt.mu) - np.asarray(st.filt.mu))[crop]
+    assert np.median(mu_err) < 0.02
+    assert int(st2.num_frames) == 0  # fresh accumulation
+
+
+def test_regularize_smooths_outlier_pixels(rng):
+    cfg = estimator.DenseConfig(height=16, width=16, num_depths=8)
+    st = estimator.init_reference(cfg, jnp.zeros((16, 16)))
+    mu = jnp.full((16, 16), 0.5).at[8, 8].set(3.0)
+    s2 = jnp.full((16, 16), 1e-3).at[8, 8].set(10.0)  # outlier is uncertain
+    filt = st.filt._replace(mu=mu, sigma2=s2, a=jnp.full((16, 16), 20.0),
+                            b=jnp.full((16, 16), 2.0))
+    st = st._replace(filt=filt)
+    out = estimator.regularize_depth(st)
+    assert abs(float(out.filt.mu[8, 8]) - 0.5) < 0.1  # pulled to neighbors
+
+
+def test_validate_photometric(rng):
+    depth = 2.0
+    cfg = estimator.DenseConfig(height=H, width=W, num_depths=D,
+                                dep_sample=float(inv_depth_grid()[1] - inv_depth_grid()[0]))
+    ref, meas, a_mat, b_vec, k = textured_plane_pair(rng, depth=depth)
+    st = estimator.init_reference(cfg, jnp.asarray(ref))
+    # correct depth -> photometric check passes
+    st = st._replace(filt=st.filt._replace(mu=jnp.full((H, W), 1.0 / depth)))
+    ok = estimator.validate_photometric(cfg, st, jnp.asarray(meas),
+                                        jnp.asarray(a_mat), jnp.asarray(b_vec),
+                                        max_err=8.0)
+    crop = (slice(8, -8), slice(8, -8))
+    assert np.asarray(ok)[crop].mean() > 0.9
+    # badly wrong depth (several px of disparity error) -> mostly fails
+    st_bad = st._replace(filt=st.filt._replace(mu=jnp.full((H, W), 1.0 / 0.5)))
+    ok_bad = estimator.validate_photometric(cfg, st_bad, jnp.asarray(meas),
+                                            jnp.asarray(a_mat),
+                                            jnp.asarray(b_vec), max_err=8.0)
+    assert np.asarray(ok_bad)[crop].mean() < np.asarray(ok)[crop].mean() - 0.2

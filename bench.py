@@ -47,21 +47,31 @@ def main():
 
     state = estimator.init_reference(cfg, jnp.asarray(ref))
 
-    # warmup / compile — force completion by fetching a scalar (on remote
-    # TPU tunnels, block_until_ready can return before execution finishes,
-    # so only a device->host fetch is an honest fence)
+    # Timing discipline for remote-TPU tunnels: block_until_ready doesn't
+    # fence, and scalar fetches only force their own dependency chain (the
+    # runtime evaluates lazily per buffer). The honest fence is fetching a
+    # reduction of the *heavy* output (sum of the filter posterior), which
+    # forces the entire chain of fused frames.
+    import jax
+    import jax.numpy as jnp_
+
+    checksum = jax.jit(lambda s: jnp_.sum(s.filt.mu) + jnp_.sum(s.mean_cost))
+
     t0 = time.time()
     state = estimator.fuse_measurement(cfg, state, meas_j, a_mat, b_vec)
-    _ = float(np.asarray(state.num_frames))
-    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
+    _ = float(np.asarray(checksum(state)))
+    print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    n = 30
-    t0 = time.time()
-    for _ in range(n):
-        state = estimator.fuse_measurement(cfg, state, meas_j, a_mat, b_vec)
-    _ = float(np.asarray(state.num_frames))  # single fence: RTT amortized
-    dt = (time.time() - t0) / n
-    fps = 1.0 / dt
+    n = 10
+    best_dt = None
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(n):
+            state = estimator.fuse_measurement(cfg, state, meas_j, a_mat, b_vec)
+        _ = float(np.asarray(checksum(state)))  # forces the whole chain
+        dt = (time.time() - t0) / n
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    fps = 1.0 / best_dt
 
     # correctness guard: the benched computation must actually estimate depth
     inv_d, ok = estimator.finalize(cfg, state)

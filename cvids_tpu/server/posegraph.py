@@ -80,6 +80,10 @@ class ServerConfig:
     pcm_chain_cov: bool = True
     pcm_step_sigma_t: float = 0.02
     pcm_step_sigma_yaw: float = 0.005
+    # covisibility fallback connection (`server_pose_graph.cpp:670-703`)
+    covis_check: bool = True
+    covis_max_dist: float = 1.0
+    covis_max_yaw: float = 0.5
 
 
 @dataclass
@@ -195,6 +199,8 @@ class CollaborativePoseGraph:
 
         info = {"index": idx, "loop": False, "aligned_event": False}
         old = self._select_loop_candidate(idx, cid, cand_idx, cand_score)
+        if old is None and cfg.covis_check and self.clients[cid].aligned:
+            old = self._covisibility_candidate(idx, cid)
         if old is not None:
             edge = self._find_connection(idx, old)
             if edge is not None:
@@ -217,6 +223,27 @@ class CollaborativePoseGraph:
             self.optimize()
             self._since_optimize = 0
         return info
+
+    def _covisibility_candidate(self, idx, cid):
+        """When BoW finds nothing, try a proximity-based inter-agent
+        connection (`server_pose_graph.cpp:670-703`): the nearest other-client
+        aligned keyframe within the 1 m / 0.5 rad covisibility gates."""
+        cfg = self.cfg
+        st = self.store
+        n = st.count
+        other = (st.client[:n] != cid) & (st.client[:n] >= 0)
+        other &= np.array([self.clients[int(c)].aligned if c >= 0 else False
+                           for c in st.client[:n]])
+        if not other.any():
+            return None
+        d = np.linalg.norm(st.world_p[:n] - st.world_p[idx], axis=1)
+        dyaw = np.abs(np.asarray(wrap_angle(jnp.asarray(
+            st.world_yaw[:n] - st.world_yaw[idx]))))
+        ok = other & (d < cfg.covis_max_dist) & (dyaw < cfg.covis_max_yaw)
+        if not ok.any():
+            return None
+        cand = np.nonzero(ok)[0]
+        return int(cand[np.argmin(d[cand])])
 
     def _select_loop_candidate(self, idx, cid, cand_idx, cand_score):
         """Reference gates: score threshold (inter vs intra), min frame gap,

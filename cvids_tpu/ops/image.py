@@ -92,6 +92,56 @@ def bilinear_sample(img: jax.Array, xy: jax.Array, fill: float = 0.0) -> jax.Arr
     return jnp.where(inside, out, fill)
 
 
+def projective_warp_mxu(img: jax.Array, m: jax.Array,
+                        eps: float = 1e-3) -> tuple[jax.Array, jax.Array]:
+    """Gather-free projective warp: out(u, v) = img(x_in(u, v), y_in(u, v))
+    with [x_in, y_in, 1] ~ m @ [u, v, 1], as two banded-matmul resampling
+    passes (Catmull & Smith 1980 two-pass warping, exact for bilinear taps).
+
+    Per-element gathers run at ~1 element/cycle on TPU; this runs on the MXU.
+    Pass 1 resamples each input row r horizontally at positions
+    g(u, r) = x_in(u, v(u, r)) where v(u, r) solves y_in(u, v) = r (a linear
+    fraction, inverted analytically); pass 2 resamples columns at y_in(u, v).
+
+    Returns (warped_times_coverage (H, W), coverage (H, W)): taps outside the
+    image contribute zero weight, so dividing by the coverage renormalizes
+    and coverage < 1 marks boundary/out-of-view pixels. Rows where the
+    pass-1 inversion degenerates (|m11 - r·m21| < eps) get zero coverage.
+    """
+    h, w = img.shape
+    f32 = jnp.float32
+    img = img.astype(f32)
+    m = m.astype(f32)
+    u = jnp.arange(w, dtype=f32)
+    v = jnp.arange(h, dtype=f32)
+    r = jnp.arange(h, dtype=f32)
+
+    # pass-1 positions g(u, r): x_in along input row r for output column u
+    den_v = m[1, 1] - r * m[2, 1]                                  # (H,)
+    deg = jnp.abs(den_v) < eps
+    safe_den = jnp.where(deg, 1.0, den_v)
+    # v(u, r) solving y_in(u, v) = r
+    v_ur = ((r[:, None] * (m[2, 0] * u[None, :] + m[2, 2])
+             - m[1, 0] * u[None, :] - m[1, 2]) / safe_den[:, None])  # (H, W)
+    zd = m[2, 0] * u[None, :] + m[2, 1] * v_ur + m[2, 2]
+    zd = jnp.where(jnp.abs(zd) > 1e-6, zd, 1e-6)
+    g = (m[0, 0] * u[None, :] + m[0, 1] * v_ur + m[0, 2]) / zd       # (H, W)
+    g = jnp.where(deg[:, None], -1e9, g)                             # kill row
+    wg = jnp.maximum(0.0, 1.0 - jnp.abs(g[..., None] - u))           # (H, W, Win)
+    stack = jnp.stack([img, jnp.ones_like(img)])                     # (2, H, W)
+    tmp = jnp.einsum("crx,rux->cru", stack, wg,
+                     preferred_element_type=f32)                     # (2, H, W)
+
+    # pass-2 positions y_in(u, v) per output pixel
+    zz = m[2, 0] * u[None, :] + m[2, 1] * v[:, None] + m[2, 2]
+    zz = jnp.where(jnp.abs(zz) > 1e-6, zz, 1e-6)
+    y_in = (m[1, 0] * u[None, :] + m[1, 1] * v[:, None] + m[1, 2]) / zz  # (H, W)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(y_in.T[..., None] - r))      # (W, H, Hin)
+    out = jnp.einsum("cru,uvr->cvu", tmp, wv,
+                     preferred_element_type=f32)                     # (2, H, W)
+    return out[0], out[1]
+
+
 def downsample2x(img: jax.Array) -> jax.Array:
     """2×2 average-pool downsample of (..., H, W); H, W must be even."""
     h, w = img.shape[-2] // 2, img.shape[-1] // 2

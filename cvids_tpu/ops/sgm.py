@@ -29,25 +29,64 @@ def _shift_d(l: jax.Array, s: int) -> jax.Array:
     return jnp.concatenate([l[..., 1:], jnp.full_like(l[..., :1], big)], -1)
 
 
-def _scan_dir(cost: jax.Array, p1: jax.Array, p2_eff: jax.Array):
-    """One directional pass along axis 0 of `cost` (S, X, D).
+def _sgm_update(l_prev: jax.Array, c: jax.Array, p2: jax.Array,
+                p1: jax.Array) -> jax.Array:
+    """One SGM recurrence step: L(p) = C(p) + min(...) − min_d L(p−1)."""
+    min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
+    cand = jnp.minimum(
+        l_prev,
+        jnp.minimum(jnp.minimum(_shift_d(l_prev, 1), _shift_d(l_prev, -1)) + p1,
+                    min_prev + p2[..., None]))
+    return c + cand - min_prev
 
-    p2_eff: (S, X) per-step large-jump penalty (already gradient-modulated).
-    Returns aggregated (S, X, D).
+
+def _scan_bidir(cost: jax.Array, p1: jax.Array, p2_eff: jax.Array,
+                unroll: int = 8) -> jax.Array:
+    """Forward + backward directional passes along axis 0 of (S, X, D) cost,
+    returned pre-summed: agg_fwd + agg_bwd.
+
+    The recurrence is inherently sequential, but each step's work (a handful
+    of element-wise mins on an (X, D) slice) is microseconds of VPU time, so
+    the scan is step-overhead bound. Two tricks halve and then quarter the
+    step count: both directions ride one scan (independent carries), and
+    `unroll` recurrence steps run inside each scan body.
     """
-    def step(l_prev, inp):
-        c, p2 = inp
-        min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
-        cand = jnp.minimum(
-            l_prev,
-            jnp.minimum(jnp.minimum(_shift_d(l_prev, 1), _shift_d(l_prev, -1)) + p1,
-                        min_prev + p2[..., None]))
-        l = c + cand - min_prev
-        return l, l
+    s = cost.shape[0]
+    n = s - 1
+    pad = (-n) % unroll
+    cost_b = cost[::-1]
+    p2_b = p2_eff[::-1]
 
-    l0 = cost[0]
-    _, out = jax.lax.scan(step, l0, (cost[1:], p2_eff[1:]))
-    return jnp.concatenate([l0[None], out], axis=0)
+    def prep(c, p2):
+        cs = jnp.concatenate(
+            [c[1:], jnp.zeros((pad,) + c.shape[1:], c.dtype)])
+        ps = jnp.concatenate(
+            [p2[1:], jnp.zeros((pad,) + p2.shape[1:], p2.dtype)])
+        blk = (n + pad) // unroll
+        return (cs.reshape((blk, unroll) + c.shape[1:]),
+                ps.reshape((blk, unroll) + p2.shape[1:]))
+
+    cf, pf = prep(cost, p2_eff)
+    cb, pb = prep(cost_b, p2_b)
+
+    def step(carry, inp):
+        lf, lb = carry
+        cfi, pfi, cbi, pbi = inp
+        outs_f, outs_b = [], []
+        for k in range(unroll):
+            lf = _sgm_update(lf, cfi[k], pfi[k], p1)
+            lb = _sgm_update(lb, cbi[k], pbi[k], p1)
+            outs_f.append(lf)
+            outs_b.append(lb)
+        return (lf, lb), (jnp.stack(outs_f), jnp.stack(outs_b))
+
+    (_, _), (of, ob) = jax.lax.scan(step, (cost[0], cost_b[0]),
+                                    (cf, pf, cb, pb))
+    of = of.reshape((n + pad,) + cost.shape[1:])[:n]
+    ob = ob.reshape((n + pad,) + cost.shape[1:])[:n]
+    agg_f = jnp.concatenate([cost[0][None], of], axis=0)
+    agg_b = jnp.concatenate([cost_b[0][None], ob], axis=0)[::-1]
+    return agg_f + agg_b
 
 
 def sgm_aggregate(cost: jax.Array, grad: jax.Array,
@@ -75,19 +114,13 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     # p1 via broadcasting inside the scan by folding it into p2_eff's shape.
     h, w, d = cost.shape
 
-    agg = jnp.zeros_like(cost)
-    # left -> right (scan over W): arrange as (W, H, D)
+    # left->right + right->left (one scan over W, arranged as (W, H, D)),
+    # then top->bottom + bottom->top (one scan over H)
     c_lr = jnp.moveaxis(cost, 1, 0)
     p2_lr = p2_map.T  # (W, H)
     p1_s = jnp.mean(p1_map)  # P1 is effectively constant in the reference
-    agg = agg + jnp.moveaxis(_scan_dir(c_lr, p1_s, p2_lr), 0, 1)
-    # right -> left
-    agg = agg + jnp.moveaxis(
-        _scan_dir(c_lr[::-1], p1_s, p2_lr[::-1])[::-1], 0, 1)
-    # top -> bottom (scan over H): (H, W, D) directly
-    agg = agg + _scan_dir(cost, p1_s, p2_map)
-    # bottom -> top
-    agg = agg + _scan_dir(cost[::-1], p1_s, p2_map[::-1])[::-1]
+    agg = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
+    agg = agg + _scan_bidir(cost, p1_s, p2_map)
     return agg
 
 
@@ -101,11 +134,14 @@ def wta_depth(cost: jax.Array, valid_count: jax.Array | None = None,
     d = cost.shape[-1]
     idx = jnp.argmin(cost, axis=-1)
     c0 = jnp.min(cost, axis=-1)
-    # parabola through (idx-1, idx, idx+1)
+    # parabola through (idx-1, idx, idx+1); neighbors fetched by one-hot
+    # contraction over the lane axis (lane gathers are slow on TPU, masked
+    # reductions are one fused VPU pass)
+    lane = jnp.arange(d)
     im = jnp.clip(idx - 1, 0, d - 1)
     ip = jnp.clip(idx + 1, 0, d - 1)
-    cm = jnp.take_along_axis(cost, im[..., None], axis=-1)[..., 0]
-    cp = jnp.take_along_axis(cost, ip[..., None], axis=-1)[..., 0]
+    cm = jnp.sum(jnp.where(lane == im[..., None], cost, 0.0), axis=-1)
+    cp = jnp.sum(jnp.where(lane == ip[..., None], cost, 0.0), axis=-1)
     denom = cm + cp - 2.0 * c0
     delta = jnp.where(denom > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
     delta = jnp.clip(delta, -1.0, 1.0)

@@ -4,3 +4,4 @@ from .mesh import (  # noqa: F401
     shard_posegraph_solve,
     sharded_dense_fuse,
 )
+from .window_schur import solve_window_schur_sharded  # noqa: F401

@@ -125,10 +125,13 @@ def reprojection_residuals(state: WindowState, meas: WindowMeasurements) -> jax.
     return jnp.where(valid[..., None], r * w, 0.0)
 
 
-def _all_residuals(state: WindowState, meas: WindowMeasurements,
+def _cam_residuals(state: WindowState, meas: WindowMeasurements,
                    anchor_weight: float = 1e3) -> jax.Array:
-    r_proj = reprojection_residuals(state, meas).reshape(-1)
-
+    """All residuals that do NOT touch landmarks: IMU factors, gauge
+    anchors, bias priors, optional linearized prior. Split out so the
+    mesh-sharded Schur solver (`parallel.window_schur`) can evaluate the
+    replicated camera system separately from the landmark-sharded
+    reprojection terms."""
     # IMU factors between consecutive keyframes
     def one(i):
         pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
@@ -157,12 +160,19 @@ def _all_residuals(state: WindowState, meas: WindowMeasurements,
         (state.ba * kf_mask).reshape(-1) * meas.ba_prior_weight,
         (state.bg * kf_mask).reshape(-1) * meas.bg_prior_weight,
     ])
-    parts = [r_proj, r_imu, r_anchor, r_bias_prior]
+    parts = [r_imu, r_anchor, r_bias_prior]
     if meas.prior is not None:
         dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
                         meas.prior.bg, meas.prior.ba, meas.prior.lm)
         parts.append(meas.prior.j @ dx + meas.prior.r0)
     return jnp.concatenate(parts)
+
+
+def _all_residuals(state: WindowState, meas: WindowMeasurements,
+                   anchor_weight: float = 1e3) -> jax.Array:
+    r_proj = reprojection_residuals(state, meas).reshape(-1)
+    return jnp.concatenate([r_proj,
+                            _cam_residuals(state, meas, anchor_weight)])
 
 
 def solve_window(state: WindowState, meas: WindowMeasurements,

@@ -215,3 +215,42 @@ def test_validate_photometric(rng):
                                             jnp.asarray(a_mat),
                                             jnp.asarray(b_vec), max_err=8.0)
     assert np.asarray(ok_bad)[crop].mean() < np.asarray(ok)[crop].mean() - 0.2
+
+
+def test_mxu_sweep_matches_gather_oracle(rng):
+    """The production (matmul) plane sweep must match the direct gather
+    transliteration: identically for pure-translation geometry, and within
+    interpolation-path tolerance once the projective pre-alignment is active
+    (two-pass resampling samples along the warped scanline; on smooth images
+    the difference is sub-intensity-level)."""
+    def angax(ax, a):
+        c, s = np.cos(a), np.sin(a)
+        if ax == 0:
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+    k = cam_k()
+    inv = jnp.asarray(inv_depth_grid())
+    ref = gaussian_blur(jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32), 1.5)
+    meas = gaussian_blur(jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32), 1.5)
+
+    # identity rotation: formulations agree essentially exactly
+    a_mat = jnp.asarray(k @ np.linalg.inv(k))
+    b_vec = jnp.asarray(k @ np.array([-0.1, 0.02, 0.01], np.float32))
+    c1, v1 = costvolume.plane_sweep_cost_gather(ref, meas, a_mat, b_vec, inv)
+    c2, v2 = costvolume.plane_sweep_cost(ref, meas, a_mat, b_vec, inv)
+    both = np.asarray(v1) & np.asarray(v2)
+    assert both.mean() > 0.7
+    assert (np.asarray(v1) == np.asarray(v2)).mean() > 0.98
+    assert np.abs(np.asarray(c1) - np.asarray(c2))[both].max() < 0.5
+
+    # rotated geometry: smooth-image tolerance
+    r21 = angax(0, 0.03) @ angax(1, -0.05)
+    a_mat = jnp.asarray(k @ r21 @ np.linalg.inv(k))
+    b_vec = jnp.asarray(k @ np.array([0.15, -0.05, 0.03], np.float32))
+    c1, v1 = costvolume.plane_sweep_cost_gather(ref, meas, a_mat, b_vec, inv)
+    c2, v2 = costvolume.plane_sweep_cost(ref, meas, a_mat, b_vec, inv)
+    both = np.asarray(v1) & np.asarray(v2)
+    assert both.mean() > 0.5
+    err = np.abs(np.asarray(c1) - np.asarray(c2))[both]
+    assert err.mean() < 1.0 and np.median(err) < 0.5

@@ -91,3 +91,26 @@ def test_sharded_dense_fuse_agents(rng):
     out = fuse(states, refs_s, a, b)
     assert np.asarray(out.num_frames).tolist() == [1] * n_agents
     assert np.isfinite(np.asarray(out.filt.mu)).all()
+
+
+def test_sharded_window_schur_matches_single_device(rng):
+    """Landmark-sharded Schur VI-BA on an 8-device mesh reaches the same
+    optimum as the single-device Schur solver (`vio.window_ba`)."""
+    from cvids_tpu.parallel import make_mesh, solve_window_schur_sharded
+    from cvids_tpu.vio import window_ba as ba
+    from tests.test_vio import _build_problem, make_seq
+
+    seq = make_seq(duration=5.0, num_landmarks=40, seed=3)
+    state, meas = _build_problem(seq, perturb=0.1, rng=rng)
+    ref_out, ref_cost = ba.solve_window_schur(state, meas, iters=10)
+
+    mesh = make_mesh(8, axis="lms")
+    sh_out, sh_cost = solve_window_schur_sharded(mesh, state, meas, iters=10)
+
+    assert float(sh_cost) < 1.2 * float(ref_cost) + 5.0
+    assert np.allclose(np.asarray(sh_out.p), np.asarray(ref_out.p),
+                       atol=5e-2), np.abs(
+        np.asarray(sh_out.p) - np.asarray(ref_out.p)).max()
+    lmv = np.asarray(state.lm_valid)
+    assert np.allclose(np.asarray(sh_out.lm)[lmv],
+                       np.asarray(ref_out.lm)[lmv], atol=1e-1)

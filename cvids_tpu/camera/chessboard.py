@@ -1,0 +1,267 @@
+"""Chessboard corner detection + intrinsic calibration from boards.
+
+Parity with the reference's calibration tooling: camodocal's chessboard
+detector (`/root/reference/camera_model/src/chessboard/Chessboard.cc`) and
+the `intrinsic_calib.cc` CLI. The detector here is TPU-shaped: inner corners
+of a chessboard are saddle points of intensity, so the response map is the
+negative Hessian determinant (−(Ixx·Iyy − Ixy²), one fused XLA pass), peaks
+are taken by masked top-k, ordered into the (rows × cols) grid host-side via
+a homography from the board's extremal corners (detection is calibration
+time — latency-insensitive, like the reference's OpenCV call).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import gaussian_blur
+from .models import calibrate_pinhole
+
+__all__ = ["chessboard_response", "find_chessboard", "calibrate_chessboards",
+           "render_chessboard"]
+
+
+@jax.jit
+def chessboard_response(img: jax.Array, sigma: float = 1.0,
+                        radius: int = 4) -> jax.Array:
+    """Inner-corner response map (H, W), ring-based (ChESS-style).
+
+    Samples a 16-point ring around every pixel (pure `roll` shifts — one
+    fused VPU pass) and projects it onto angular harmonics: an inner
+    chessboard corner alternates dark/light TWICE around the ring (strong
+    period-2 component), while edges and single-square outer corners
+    alternate once (period-1). Response = |period-2|² − |period-1|², which
+    is what keeps outer board corners and edges out of the peak list."""
+    g = gaussian_blur(img.astype(jnp.float32), sigma, radius=2)
+    n = 16
+    ang = 2.0 * np.pi * np.arange(n) / n
+    c1 = jnp.zeros_like(g)
+    s1 = jnp.zeros_like(g)
+    c2 = jnp.zeros_like(g)
+    s2 = jnp.zeros_like(g)
+    mean = jnp.zeros_like(g)
+    for k in range(n):
+        dx = int(round(radius * np.cos(ang[k])))
+        dy = int(round(radius * np.sin(ang[k])))
+        ring = jnp.roll(jnp.roll(g, -dy, 0), -dx, 1)
+        mean = mean + ring / n
+        c1 = c1 + ring * np.cos(ang[k])
+        s1 = s1 + ring * np.sin(ang[k])
+        c2 = c2 + ring * np.cos(2 * ang[k])
+        s2 = s2 + ring * np.sin(2 * ang[k])
+    resp = (c2 * c2 + s2 * s2) - (c1 * c1 + s1 * s1)
+    h, w = img.shape
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    m = radius + 3
+    inside = (xx >= m) & (xx < w - m) & (yy >= m) & (yy < h - m)
+    return jnp.where(inside, resp, 0.0)
+
+
+def _nms_peaks(resp: np.ndarray, num: int, min_dist: int = 8) -> np.ndarray:
+    """Greedy non-max suppression: top `num` peaks ≥ min_dist apart, with
+    quadratic subpixel refinement. Host-side (tiny)."""
+    r = resp.copy()
+    h, w = r.shape
+    out = []
+    for _ in range(num):
+        idx = int(np.argmax(r))
+        y, x = divmod(idx, w)
+        if r[y, x] <= 0:
+            break
+        # subpixel: 1-D parabola in x and y
+        def subpix(c0, cm, cp):
+            den = cm + cp - 2 * c0
+            return 0.5 * (cm - cp) / den if den < -1e-12 else 0.0
+        dx = subpix(r[y, x], r[y, max(x - 1, 0)], r[y, min(x + 1, w - 1)]) \
+            if 0 < x < w - 1 else 0.0
+        dy = subpix(r[y, x], r[max(y - 1, 0), x], r[min(y + 1, h - 1), x]) \
+            if 0 < y < h - 1 else 0.0
+        out.append((x + dx, y + dy))
+        y0, y1 = max(0, y - min_dist), min(h, y + min_dist + 1)
+        x0, x1 = max(0, x - min_dist), min(w, x + min_dist + 1)
+        r[y0:y1, x0:x1] = 0.0
+    return np.asarray(out, np.float32)
+
+
+def _order_grid(pts: np.ndarray, rows: int, cols: int) -> np.ndarray | None:
+    """Order scattered corner points into a (rows*cols, 2) row-major grid via
+    a homography fitted from the 4 extremal corners (tolerates the mild
+    perspective/distortion of a calibration view)."""
+    if len(pts) < rows * cols:
+        return None
+    c = pts.mean(0)
+    d = pts - c
+    # extremal corners along the two diagonal directions
+    # x+y minimal at TL / maximal at BR; x−y maximal at TR / minimal at BL
+    s, t = d[:, 0] + d[:, 1], d[:, 0] - d[:, 1]
+    corners = pts[[np.argmin(s), np.argmax(t), np.argmax(s), np.argmin(t)]]
+    # target unit grid corners (TL, TR, BR, BL) in (col, row)
+    tgt = np.array([[0, 0], [cols - 1, 0], [cols - 1, rows - 1],
+                    [0, rows - 1]], np.float64)
+    # DLT homography from the 4 correspondences
+    a = []
+    for (x, y), (u, v) in zip(corners, tgt):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    _, _, vt = np.linalg.svd(np.asarray(a))
+    hmat = vt[-1].reshape(3, 3)
+    ph = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1) @ hmat.T
+    grid = ph[:, :2] / ph[:, 2:3]
+    order = np.full(rows * cols, -1, np.int64)
+    used = np.zeros(len(pts), bool)
+    for rr in range(rows):
+        for cc in range(cols):
+            dist = np.linalg.norm(grid - np.array([cc, rr]), axis=1)
+            dist[used] = np.inf
+            j = int(np.argmin(dist))
+            if dist[j] > 0.45:   # no corner near this grid node
+                return None
+            order[rr * cols + cc] = j
+            used[j] = True
+    return pts[order]
+
+
+def find_chessboard(img: np.ndarray, rows: int, cols: int,
+                    min_dist: int = 8) -> np.ndarray | None:
+    """Detect the (rows × cols) inner-corner grid of a chessboard.
+
+    Returns (rows*cols, 2) subpixel corners in row-major order, or None if
+    the board is not found (the reference CLI skips such frames,
+    `intrinsic_calib.cc`)."""
+    resp = np.asarray(chessboard_response(jnp.asarray(img)))
+    # take extra peaks to survive spurious responses, then grid-fit
+    pts = _nms_peaks(resp, rows * cols + 8, min_dist=min_dist)
+    if len(pts) < rows * cols:
+        return None
+    # keep the strongest rows*cols ... try grid-fit with progressively fewer
+    for n in range(rows * cols, len(pts) + 1):
+        ordered = _order_grid(pts[:n], rows, cols)
+        if ordered is not None:
+            return ordered
+    return None
+
+
+def _dlt_homography(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Plane homography src (N,2) -> dst (N,2) by normalized DLT."""
+    def norm_t(p):
+        c = p.mean(0)
+        s = np.sqrt(2.0) / max(np.mean(np.linalg.norm(p - c, axis=1)), 1e-9)
+        return np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1]])
+    ts, td = norm_t(src), norm_t(dst)
+    sh = (np.concatenate([src, np.ones((len(src), 1))], 1) @ ts.T)
+    dh = (np.concatenate([dst, np.ones((len(dst), 1))], 1) @ td.T)
+    a = []
+    for (x, y, _), (u, v, _) in zip(sh, dh):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+    _, _, vt = np.linalg.svd(np.asarray(a))
+    hmat = np.linalg.inv(td) @ vt[-1].reshape(3, 3) @ ts
+    return hmat / hmat[2, 2]
+
+
+def _zhang_focal(homs: list, cx: float, cy: float) -> float:
+    """Focal from plane homographies with a fixed principal point (the
+    closed form of Zhang's method that OpenCV's initIntrinsicParams uses):
+    both constraints are linear in 1/f² once H is principal-point centered."""
+    tmat = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]])
+    a, b = [], []
+    for h in homs:
+        hc = tmat @ h
+        h1, h2 = hc[:, 0], hc[:, 1]
+        a.append([h1[0] * h2[0] + h1[1] * h2[1]]); b.append(-h1[2] * h2[2])
+        a.append([h1[0] ** 2 + h1[1] ** 2 - h2[0] ** 2 - h2[1] ** 2])
+        b.append(h2[2] ** 2 - h1[2] ** 2)
+    x = np.linalg.lstsq(np.asarray(a), np.asarray(b), rcond=None)[0][0]
+    return 1.0 / np.sqrt(max(x, 1e-12))
+
+
+def _pose_from_homography(h: np.ndarray, kmat: np.ndarray) -> np.ndarray:
+    """[rvec(3), tvec(3)] board->camera from H = K [r1 r2 t]."""
+    b = np.linalg.inv(kmat) @ h
+    lam = 1.0 / max(np.linalg.norm(b[:, 0]), 1e-9)
+    if b[2, 2] * lam < 0:
+        lam = -lam
+    r1, r2, t = lam * b[:, 0], lam * b[:, 1], lam * b[:, 2]
+    r3 = np.cross(r1, r2)
+    u, _, vt = np.linalg.svd(np.stack([r1, r2, r3], axis=1))
+    r = u @ vt
+    # rotation vector via log map
+    ang = np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1))
+    if ang < 1e-9:
+        rvec = np.zeros(3)
+    else:
+        rvec = ang / (2 * np.sin(ang)) * np.array(
+            [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+    return np.concatenate([rvec, t]).astype(np.float32)
+
+
+def calibrate_chessboards(images: list, rows: int, cols: int,
+                          square_size: float, width: int, height: int,
+                          iters: int = 30):
+    """End-to-end intrinsic calibration from chessboard views (the
+    `intrinsic_calib.cc` CLI role): detect boards, init intrinsics/poses by
+    Zhang's homography method, refine with the joint GN calibration.
+    Returns (params (8,), poses, rms, used) — params = [fx, fy, cx, cy,
+    k1, k2, p1, p2]; used = per-image detection mask."""
+    obj = np.zeros((rows * cols, 3), np.float32)
+    obj[:, 0] = np.tile(np.arange(cols), rows) * square_size
+    obj[:, 1] = np.repeat(np.arange(rows), cols) * square_size
+    obj_all, img_all, homs, used = [], [], [], []
+    for im in images:
+        c = find_chessboard(im, rows, cols)
+        used.append(c is not None)
+        if c is not None:
+            obj_all.append(obj)
+            img_all.append(c)
+            homs.append(_dlt_homography(obj[:, :2], c))
+    if not obj_all:
+        raise ValueError("no chessboards found")
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    f = _zhang_focal(homs, cx, cy)
+    kmat = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]])
+    poses0 = np.stack([_pose_from_homography(h, kmat) for h in homs])
+    init = jnp.asarray([f, f, cx, cy, 0, 0, 0, 0], jnp.float32)
+    v, n = len(obj_all), rows * cols
+    params, poses, rms = calibrate_pinhole(
+        jnp.asarray(np.stack(obj_all)), jnp.asarray(np.stack(img_all)),
+        jnp.ones((v, n), bool), init, jnp.asarray(poses0), iters=iters)
+    return params, poses, rms, np.asarray(used)
+
+
+def render_chessboard(rows: int, cols: int, square_px: int, cam,
+                      r_wc: np.ndarray, t_wc: np.ndarray,
+                      square_size: float) -> tuple[np.ndarray, np.ndarray]:
+    """Synthetic calibration view: renders a chessboard plane through a
+    camera model (supersampled), returning (image, true inner corners).
+    Test/replay utility — the counterpart of pointing a real camera at a
+    board (`calibration_images` package)."""
+    h, w = cam.height, cam.width
+    ss = 2
+    yy, xx = np.mgrid[0:h * ss, 0:w * ss]
+    px = np.stack([(xx + 0.5) / ss - 0.5, (yy + 0.5) / ss - 0.5], -1)
+    norm = np.asarray(cam.lift(jnp.asarray(px.reshape(-1, 2), jnp.float32)))
+    rays = np.concatenate([norm, np.ones((len(norm), 1), np.float32)], 1)
+    # intersect with board plane z=0 in world: X = R rays*s + t, X_z = 0
+    rc = r_wc.T  # world->cam is (r_wc, t_wc): x_cam = r_wc X + t_wc
+    # ray in world: X(s) = rc @ (rays*s - t_wc)
+    dir_w = rays @ rc.T
+    org_w = -(rc @ t_wc)
+    s = -org_w[2] / np.where(np.abs(dir_w[:, 2]) > 1e-9, dir_w[:, 2], 1e-9)
+    pts_w = org_w[None] + dir_w * s[:, None]
+    bx = pts_w[:, 0] / square_size
+    by = pts_w[:, 1] / square_size
+    # a (cols+1) x (rows+1)-square board => rows*cols INNER corners at
+    # board coords (1..cols, 1..rows) * square_size
+    inside = (bx >= 0) & (bx <= cols + 1) & (by >= 0) & (by <= rows + 1) & (s > 0)
+    checker = ((np.floor(bx).astype(int) + np.floor(by).astype(int)) % 2 == 0)
+    img = np.where(inside & checker, 40.0, 220.0).astype(np.float32)
+    img = img.reshape(h * ss, w * ss).reshape(h, ss, w, ss).mean((1, 3))
+    # true inner corners: board points ((c+1)*sq, (r+1)*sq, 0) projected
+    corners_w = np.zeros((rows * cols, 3), np.float32)
+    corners_w[:, 0] = (np.tile(np.arange(cols), rows) + 1) * square_size
+    corners_w[:, 1] = (np.repeat(np.arange(rows), cols) + 1) * square_size
+    pc = corners_w @ r_wc.T + t_wc
+    uv = np.asarray(cam.project(jnp.asarray(pc, jnp.float32)))
+    return img, uv

@@ -14,8 +14,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["EquidistantCamera", "MeiCamera", "calibrate_pinhole"]
+__all__ = ["EquidistantCamera", "MeiCamera", "ScaramuzzaCamera",
+           "calibrate_pinhole"]
 
 
 class EquidistantCamera(NamedTuple):
@@ -119,6 +121,77 @@ class MeiCamera(NamedTuple):
         z = zs - xi
         return jnp.stack([x / jnp.maximum(z, 1e-9), y / jnp.maximum(z, 1e-9)],
                          axis=-1)
+
+
+class ScaramuzzaCamera(NamedTuple):
+    """Scaramuzza omnidirectional (OCamCalib) model.
+
+    Behavior matches camodocal's `OCAMCamera`
+    (`/root/reference/camera_model/src/camera_models/ScaramuzzaCamera.cc:
+    599-654`): lift applies the inverse affine [[C,D],[E,1]] to the centered
+    pixel, evaluates the forward polynomial at the sensor radius φ and
+    returns (xc_x, xc_y, −poly(φ)) — centered coordinates, NOT affine-
+    corrected, reproducing the reference's convention; project maps
+    θ = atan2(−z, ‖xy‖) through the inverse polynomial to a sensor radius.
+    """
+
+    poly: jax.Array      # (P,) forward polynomial coefficients (a0, a1, ...)
+    inv_poly: jax.Array  # (Q,) inverse polynomial (ρ(θ))
+    c: jax.Array         # affine C
+    d: jax.Array         # affine D
+    e: jax.Array         # affine E
+    cx: jax.Array
+    cy: jax.Array
+    width: int = 752
+    height: int = 480
+
+    @staticmethod
+    def create(poly, inv_poly=None, c=1.0, d=0.0, e=0.0, cx=376.0, cy=240.0,
+               width=752, height=480, dtype=jnp.float32):
+        poly = jnp.asarray(poly, dtype)
+        if inv_poly is None:
+            inv_poly = ScaramuzzaCamera.fit_inverse_poly(
+                poly, max_radius=0.6 * float(np.hypot(width, height)))
+        return ScaramuzzaCamera(poly, jnp.asarray(inv_poly, dtype),
+                                jnp.asarray(c, dtype), jnp.asarray(d, dtype),
+                                jnp.asarray(e, dtype), jnp.asarray(cx, dtype),
+                                jnp.asarray(cy, dtype), int(width), int(height))
+
+    @staticmethod
+    def fit_inverse_poly(poly, max_radius: float, degree: int = 12,
+                         samples: int = 256):
+        """Least-squares fit of ρ(θ) from the forward polynomial (the role of
+        camodocal's inverse-poly estimation during calibration)."""
+        phi = jnp.linspace(0.0, max_radius, samples)
+        z = jnp.polyval(poly[::-1], phi)        # poly is (a0, a1, ...)
+        theta = jnp.arctan2(z, phi)
+        vand = theta[:, None] ** jnp.arange(degree + 1)[None, :]
+        coef, *_ = jnp.linalg.lstsq(vand, phi)
+        return coef
+
+    def project(self, pts_cam: jax.Array) -> jax.Array:
+        x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+        nrm = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(-z, nrm)
+        rho = jnp.polyval(self.inv_poly[::-1], theta)
+        inv_n = 1.0 / jnp.maximum(nrm, 1e-9)
+        xn = x * inv_n * rho
+        yn = y * inv_n * rho
+        u = xn * self.c + yn * self.d + self.cx
+        v = xn * self.e + yn + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+    def lift(self, px: jax.Array) -> jax.Array:
+        """Pixels -> projective ray (..., 3) (reference convention: centered
+        pixel coords for xy, −poly(φ) for z; NOT normalized)."""
+        xc = px[..., 0] - self.cx
+        yc = px[..., 1] - self.cy
+        inv_scale = 1.0 / (self.c - self.d * self.e)
+        xa = inv_scale * (xc - self.d * yc)
+        ya = inv_scale * (-self.e * xc + self.c * yc)
+        phi = jnp.sqrt(xa * xa + ya * ya)
+        z = jnp.polyval(self.poly[::-1], phi)
+        return jnp.stack([xc, yc, -z], axis=-1)
 
 
 def calibrate_pinhole(obj_pts: jax.Array, img_pts: jax.Array,

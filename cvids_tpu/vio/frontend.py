@@ -70,6 +70,7 @@ class AgentFrontend:
         self.lm_id = np.full(mf, -1, np.int64)   # landmark slot -> feature id
         self.pre_list: list = [None] * (w - 1)   # preintegrations between KFs
         self.initialized = False
+        self.vi_initialized = False   # gyro-bias + gravity/scale bootstrap done
         self._last_solved = None
 
     # ---------- feature maintenance ----------
@@ -282,8 +283,60 @@ class AgentFrontend:
         if self.n_in_window >= 2 and lm_valid.sum() >= 8:
             self._solve()
             self.initialized = True
+            # one-shot VI bootstrap once the window has enough motion: gyro
+            # bias from visual-vs-IMU rotations, then velocity/gravity/scale
+            # (the VINS-Mono initialization the reference's agent presumes)
+            if not self.vi_initialized and self.n_in_window >= min(5, w):
+                self._try_vi_bootstrap()
 
         return self._emit_packet(timestamp, image) if self.initialized else None
+
+    def _try_vi_bootstrap(self):
+        """Gyro-bias calibration + gravity/velocity/scale alignment over the
+        current window (`vio.initializer`). Applied only when the linear
+        system is well-conditioned and the recovered scale is sane; the
+        corrected bias/velocities/scale then seed the next window solves."""
+        from . import initializer as vi_init
+
+        w = self.WINDOW
+        present = [p_ for p_ in self.pre_list if p_ is not None]
+        if len(present) < 3:
+            return
+        valid = np.array([p_ is not None for p_ in self.pre_list[:w - 1]])
+        dummy = present[0]
+        pres = [p_ if p_ is not None else dummy for p_ in self.pre_list[:w - 1]]
+        pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
+        kf_ok = np.asarray(self.state.kf_valid)
+        valid &= kf_ok[:-1] & kf_ok[1:]
+        if valid.sum() < 3:
+            return
+
+        bg = vi_init.calibrate_gyro_bias(self.state.q, pre,
+                                         jnp.asarray(valid))
+        if not np.isfinite(np.asarray(bg)).all() or \
+                float(jnp.linalg.norm(bg)) > 0.5:
+            return
+        pre_c = jax.vmap(lambda p_: imu_mod.bias_corrected(p_, bg,
+                                                           jnp.zeros(3)))(pre)
+        res = vi_init.linear_alignment(self.state.p, self.state.q, pre_c,
+                                       jnp.asarray(valid))
+        s = float(res.scale)
+        if not bool(res.ok) or not (0.2 < s < 5.0):
+            return
+        # rotate the world so the recovered gravity lands on (0,0,-9.81)
+        # (yaw-free alignment), rescale to metric, install velocities+bias
+        from ..geometry import g2r, matrix_to_quat, quat_multiply, quat_normalize
+        r_align = g2r(-res.gravity)  # maps -g (up measured) onto +z, yaw 0
+        q_align = matrix_to_quat(r_align)
+        st = self.state
+        rot = lambda x: jnp.einsum("ij,kj->ki", r_align, x)
+        self.state = st._replace(
+            p=rot(st.p) * s,
+            q=jax.vmap(lambda qq: quat_normalize(quat_multiply(q_align, qq)))(st.q),
+            v=rot(res.v),
+            bg=jnp.tile(bg, (w, 1)),
+            lm=rot(st.lm) * s)
+        self.vi_initialized = True
 
     def _solve(self):
         w = self.WINDOW

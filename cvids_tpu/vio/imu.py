@@ -29,7 +29,8 @@ from ..geometry import (
     so3_log,
 )
 
-__all__ = ["ImuNoise", "Preintegrated", "preintegrate", "imu_residual", "GRAVITY"]
+__all__ = ["ImuNoise", "Preintegrated", "preintegrate", "imu_residual",
+           "bias_corrected", "GRAVITY"]
 
 GRAVITY = jnp.asarray([0.0, 0.0, -9.81])
 
@@ -177,3 +178,18 @@ def imu_residual(pre: Preintegrated,
     r_pqv = pre.sqrt_info @ jnp.concatenate([r_p, r_q, r_v])
     r_bias = jnp.concatenate([bg_j - bg_i, ba_j - ba_i]) * weight_bias
     return jnp.concatenate([r_pqv, r_bias])
+
+
+def bias_corrected(pre: Preintegrated, bg: jax.Array,
+                   ba: jax.Array) -> Preintegrated:
+    """First-order re-linearization of the deltas at a new bias pair (the
+    same Jacobian correction `imu_residual` applies in-residual) — used when
+    a consumer needs the deltas themselves at an updated bias, e.g. the VI
+    initializer's linear alignment after gyro-bias calibration."""
+    dbg = bg - pre.bg
+    dba = ba - pre.ba
+    return pre._replace(
+        dp=pre.dp + pre.j_p_bg @ dbg + pre.j_p_ba @ dba,
+        dv=pre.dv + pre.j_v_bg @ dbg + pre.j_v_ba @ dba,
+        dq=quat_normalize(quat_multiply(pre.dq, so3_exp(pre.j_q_bg @ dbg))),
+        bg=bg, ba=ba)

@@ -163,3 +163,78 @@ def test_visualization_outputs(tmp_path, rng):
     p3 = str(tmp_path / "mosaic.png")
     ok3 = viz.save_frame_mosaic(p3, [rng.uniform(0, 255, (24, 32)) for _ in range(3)])
     assert ok3 == ok
+
+
+def test_scaramuzza_roundtrip(rng):
+    """OCam model: project(lift(px)) returns the pixel; lift(project(P)) is
+    parallel to P (reference OCAMCamera conventions)."""
+    from cvids_tpu.camera.models import ScaramuzzaCamera
+
+    # a typical OCamCalib forward polynomial (a0 < 0, wide FOV)
+    cam = ScaramuzzaCamera.create(
+        poly=(-216.0, 0.0, 0.0016, -3.0e-7, 6.0e-10),
+        c=1.001, d=0.0009, e=-0.0011, cx=376.0, cy=240.0)
+
+    px = jnp.asarray(rng.uniform([80, 60], [670, 420], (64, 2)), jnp.float32)
+    rays = cam.lift(px)
+    px2 = cam.project(rays)
+    err = np.abs(np.asarray(px2) - np.asarray(px))
+    assert np.median(err) < 0.2 and err.max() < 2.0, (np.median(err), err.max())
+
+    # forward rays project into the image and lift back parallel
+    pts = jnp.asarray(rng.normal(0, 0.4, (64, 3)) + np.array([0, 0, 2.0]),
+                      jnp.float32)
+    uv = cam.project(pts)
+    rays2 = np.asarray(cam.lift(uv))
+    p = np.asarray(pts)
+    cosang = np.sum(rays2 * p, -1) / (
+        np.linalg.norm(rays2, axis=-1) * np.linalg.norm(p, axis=-1))
+    assert np.quantile(cosang, 0.1) > 0.999, cosang.min()
+
+
+def test_chessboard_detection_and_calibration(rng):
+    """Detect synthetic chessboard views and recover pinhole intrinsics
+    (the reference's intrinsic_calib.cc + Chessboard.cc roles)."""
+    from cvids_tpu.camera import PinholeCamera
+    from cvids_tpu.camera.chessboard import (calibrate_chessboards,
+                                             find_chessboard,
+                                             render_chessboard)
+
+    w, h = 320, 240
+    cam_true = PinholeCamera.create(300.0, 300.0, 160.0, 120.0,
+                                    (-0.15, 0.05, 0.0, 0.0), w, h)
+    rows, cols, sq = 5, 6, 0.04
+
+    def pose(yaw, pitch, tz, tx, ty):
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        r = (np.array([[cy_, -sy, 0], [sy, cy_, 0], [0, 0, 1]])
+             @ np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])).astype(np.float32)
+        # aim the camera at the board center
+        t = np.array([tx, ty, tz], np.float32)
+        return r, t
+
+    views, corners_true = [], []
+    for yaw, pitch, tz in [(0.1, 0.15, 0.5), (-0.2, 0.1, 0.6),
+                           (0.15, -0.2, 0.45), (0.0, 0.3, 0.55)]:
+        r, t = pose(yaw, pitch, tz, -0.10, -0.08)
+        img, uv = render_chessboard(rows, cols, 0, cam_true, r, t, sq)
+        views.append(img)
+        corners_true.append(uv)
+
+    # detection: every view found, corners within a pixel of ground truth
+    c = find_chessboard(views[0], rows, cols)
+    assert c is not None
+    ct = corners_true[0]
+    # detection order may be 180-deg rotated; compare as sets via nearest
+    d = np.linalg.norm(c[:, None] - ct[None], axis=-1)
+    assert np.median(d.min(1)) < 1.0, np.median(d.min(1))
+
+    params, poses, rms, used = calibrate_chessboards(
+        views, rows, cols, sq, w, h, iters=40)
+    assert used.all()
+    p = np.asarray(params)
+    assert float(rms) < 1.0, float(rms)
+    assert abs(p[0] - 300.0) < 12 and abs(p[1] - 300.0) < 12, p[:2]
+    assert abs(p[2] - 160.0) < 8 and abs(p[3] - 120.0) < 8, p[2:4]
+    assert abs(p[4] - (-0.15)) < 0.08, p[4]

@@ -170,3 +170,35 @@ def test_schur_solver_matches_dense(rng):
     ate_d = np.sqrt(np.mean(np.linalg.norm(np.asarray(dense_out.p) - seq.p_gt, axis=1) ** 2))
     ate_s = np.sqrt(np.mean(np.linalg.norm(np.asarray(schur_out.p) - seq.p_gt, axis=1) ** 2))
     assert ate_s < max(1.5 * ate_d, 0.1), (ate_s, ate_d)
+
+
+def test_initializer_gyro_bias_and_alignment(rng):
+    """VI bootstrap: gyro-bias calibration from visual-vs-IMU rotations, then
+    gravity / velocity / scale from the linear alignment."""
+    from cvids_tpu.vio import initializer as vi_init
+
+    seq = make_seq(duration=6.0, num_landmarks=30, seed=5,
+                   bg=(0.02, -0.015, 0.01))
+    k = len(seq.times_kf)
+
+    # preintegrate at ZERO bias (unknown at bootstrap)
+    pre = preintegrate_all(seq, jnp.zeros(3), jnp.zeros(3))
+    valid = jnp.ones(k - 1, bool)
+
+    bg_est = vi_init.calibrate_gyro_bias(jnp.asarray(seq.q_gt, jnp.float32),
+                                         pre, valid)
+    assert np.allclose(np.asarray(bg_est), seq.bg_true, atol=3e-3), (
+        np.asarray(bg_est), seq.bg_true)
+
+    # re-preintegrate at the calibrated bias; feed up-to-scale positions
+    pre2 = preintegrate_all(seq, jnp.asarray(bg_est, jnp.float32), jnp.zeros(3))
+    s_true = 3.7
+    p_vis = jnp.asarray(seq.p_gt / s_true, jnp.float32)
+    res = vi_init.linear_alignment(p_vis, jnp.asarray(seq.q_gt, jnp.float32),
+                                   pre2, valid)
+    assert bool(res.ok)
+    assert abs(float(res.scale) - s_true) / s_true < 0.05, float(res.scale)
+    g = np.asarray(res.gravity)
+    assert np.allclose(g, [0, 0, -9.81], atol=0.25), g
+    v_err = np.linalg.norm(np.asarray(res.v) - seq.v_gt, axis=1)
+    assert np.median(v_err) < 0.15, np.median(v_err)

@@ -45,6 +45,15 @@ class DenseConfig:
     sparse_ratio: float = 15.0
     tau2_scale: float = 0.05   # measurement variance per (inv-depth step)²
     min_frames: int = 2
+    # cost-volume storage/compute dtype. bfloat16 halves the HBM traffic of
+    # the (H, W, D) volumes (the pipeline is bandwidth-bound); WTA depth
+    # indices differ from fp32 by <0.01 bins (see test_dense bf16 check).
+    # The Bayes filter always runs fp32.
+    dtype: str = "bfloat16"
+
+    @property
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
     @property
     def inv_depths(self) -> np.ndarray:
@@ -70,15 +79,17 @@ def init_reference(cfg: DenseConfig, ref_img: jax.Array,
     """Start a new reference keyframe (`DepthEstimator::Initialize` +
     `StereoMapper::InitReference`)."""
     h, w, d = cfg.height, cfg.width, cfg.num_depths
+    dt = cfg.jdtype
     ref_img = ref_img.astype(jnp.float32)
-    bias = jnp.zeros((h, w, d), jnp.float32)
+    bias = jnp.zeros((h, w, d), dt)
     if sparse_uv is not None:
-        bias = splat_sparse(cfg, sparse_uv, sparse_inv_depth, sparse_valid)
+        bias = splat_sparse(cfg, sparse_uv, sparse_inv_depth,
+                            sparse_valid).astype(dt)
     return DenseState(
         ref_img=ref_img,
         grad=image_gradients(ref_img),
-        mean_cost=jnp.zeros((h, w, d), jnp.float32),
-        count=jnp.zeros((h, w, d), jnp.float32),
+        mean_cost=jnp.zeros((h, w, d), dt),
+        count=jnp.zeros((h, w, d), dt),
         sparse_bias=bias,
         filt=depth_filter.init_state(h, w),
         num_frames=jnp.asarray(0, jnp.int32))
@@ -132,13 +143,16 @@ def fuse_measurement(cfg: DenseConfig, state: DenseState, meas_img: jax.Array,
     """
     inv_depths = jnp.asarray(cfg.inv_depths)
     c, v = costvolume.plane_sweep_cost(state.ref_img, meas_img.astype(jnp.float32),
-                                       a_mat, b_vec, inv_depths)
+                                       a_mat, b_vec, inv_depths,
+                                       out_dtype=cfg.jdtype)
     mean_cost, count = costvolume.accumulate_cost(state.mean_cost, state.count, c, v)
 
     # SGM input: unobserved hypotheses get a high constant so they can't win
     observed = count > 0
-    total = jnp.where(observed, mean_cost, 50.0) + state.sparse_bias
-    inv_depth, conf = sgm.sgm_depth(total, state.grad, inv_depths,
+    total = jnp.where(observed, mean_cost,
+                      jnp.asarray(50.0, mean_cost.dtype)) + state.sparse_bias
+    inv_depth, conf = sgm.sgm_depth(total, state.grad.astype(total.dtype),
+                                    inv_depths,
                                     valid_count=jnp.sum(observed, -1),
                                     min_count=cfg.num_depths * 0.25,
                                     pi1=cfg.pi1, pi2=cfg.pi2, tau_so=cfg.tau_so)
@@ -172,7 +186,7 @@ def propagate_reference(cfg: DenseConfig, prev: DenseState,
     filt = depth_filter.propagate(prev.filt, r_no, t_no, k_mat,
                                   jnp.linalg.inv(k_mat))
     if sparse_bias is not None:
-        st = st._replace(sparse_bias=sparse_bias)
+        st = st._replace(sparse_bias=sparse_bias.astype(cfg.jdtype))
     return st._replace(filt=filt)
 
 

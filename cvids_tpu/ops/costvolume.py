@@ -100,7 +100,8 @@ def _interp_matrix(pos: jax.Array, size: int) -> jax.Array:
 
 def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
                      a_mat: jax.Array, b_vec: jax.Array,
-                     inv_depths: jax.Array) -> tuple[jax.Array, jax.Array]:
+                     inv_depths: jax.Array,
+                     out_dtype=None) -> tuple[jax.Array, jax.Array]:
     """One measurement frame's cost slice — MXU formulation (gather-free).
 
     ref, meas: (H, W) float intensity images. a_mat = K₂R₂₁K₁⁻¹ (3,3),
@@ -136,22 +137,29 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
     wx = _interp_matrix(pos_x, w)                                # (D, W, W)
     wy = _interp_matrix(pos_y, h)                                # (D, H, H)
 
-    # --- sweep image and coverage through the same banded matmuls
-    stack = jnp.stack([meas_cov, cov_pw])                        # (2, H, W)
-    rowp = jnp.einsum("chw,dpw->cdhp", stack, wx,
+    # --- sweep image and coverage through the same banded matmuls.
+    # In bf16 mode the matmul operands and the (D, H, W) intermediates are
+    # bf16 (weight quantization ≈ 0.4 % ⇒ sub-intensity-level error); the
+    # MXU accumulates in fp32 either way.
+    cdt = f32 if out_dtype is None else out_dtype
+    stack = jnp.stack([meas_cov, cov_pw]).astype(cdt)            # (2, H, W)
+    rowp = jnp.einsum("chw,dpw->cdhp", stack, wx.astype(cdt),
                       preferred_element_type=f32)                # (2, D, H, W)
-    swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy,
+    rowp = rowp.astype(cdt)
+    swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy.astype(cdt),
                        preferred_element_type=f32)               # (2, D, H, W)
-    num_i, cov = swept[0], swept[1]
+    num_i, cov = swept[0].astype(cdt), swept[1].astype(cdt)
     valid = (cov > 0.99) & depth_ok[:, None, None]
-    warped = jnp.where(valid, num_i / jnp.maximum(cov, 1e-6), jnp.nan)
+    warped = jnp.where(valid, num_i / jnp.maximum(cov, jnp.asarray(1e-3, cdt)),
+                       jnp.asarray(jnp.nan, cdt))
 
-    ad = jnp.abs(warped - ref.astype(f32)[None])
-    vald = jnp.isfinite(ad)
-    ad = jnp.where(vald, ad, 0.0)
+    ad = jnp.abs(warped - ref.astype(cdt)[None])
+    vald = ~jnp.isnan(ad)
+    ad = jnp.where(vald, ad, jnp.asarray(0.0, cdt))
     num = _box3(ad)
-    denb = _box3(vald.astype(f32))
-    cost = jnp.where(denb > 0.0, num / jnp.maximum(denb, 1e-6), 0.0)
+    denb = _box3(vald.astype(cdt))
+    cost = jnp.where(denb > 0.0, num / jnp.maximum(denb, jnp.asarray(0.1, cdt)),
+                     jnp.asarray(0.0, cdt))
     ok = denb > 0.5
     return (jnp.moveaxis(cost, 0, -1),  # (H, W, D)
             jnp.moveaxis(ok, 0, -1))

@@ -105,8 +105,8 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     `sgm_stereo_mapper.cpp:55-123`).
     """
     big_jump = grad > tau_so
-    p2_map = jnp.where(big_jump, pi2 / q2, pi2)
-    p1_map = jnp.where(big_jump, pi1 / q1, pi1)
+    p2_map = jnp.where(big_jump, pi2 / q2, pi2).astype(cost.dtype)
+    p1_map = jnp.where(big_jump, pi1 / q1, pi1).astype(cost.dtype)
     if penalty_scale is not None:
         p2_map = p2_map * penalty_scale
         p1_map = p1_map * penalty_scale
@@ -162,9 +162,12 @@ def wta_depth(cost: jax.Array, valid_count: jax.Array | None = None,
 def sgm_depth(cost: jax.Array, grad: jax.Array, inv_depths: jax.Array,
               valid_count: jax.Array | None = None, min_count: float = 1.0,
               **kw):
-    """Aggregate + WTA + map to inverse depth. Returns (inv_depth, conf)."""
+    """Aggregate + WTA + map to inverse depth. Returns (inv_depth, conf).
+
+    Aggregation runs in the cost dtype (bf16-safe: min algebra); WTA's
+    subpixel parabola always runs fp32."""
     agg = sgm_aggregate(cost, grad, **kw)
-    idx_f, conf = wta_depth(agg, valid_count, min_count)
+    idx_f, conf = wta_depth(agg.astype(jnp.float32), valid_count, min_count)
     d = inv_depths.shape[0]
     step = inv_depths[1] - inv_depths[0]
     inv_depth = inv_depths[0] + idx_f * step

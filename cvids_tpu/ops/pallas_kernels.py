@@ -168,3 +168,94 @@ def depth_filter_update(state: df_xla.FilterState, x: jax.Array,
     )(*args)
     crop = lambda arr: arr[:h, :w]
     return df_xla.FilterState(crop(mu), crop(s2), crop(a), crop(b))
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional SGM directional scan
+# ---------------------------------------------------------------------------
+#
+# The SGM recurrence L(p) = C(p) + min(L, shift(L)±1 + P1, min L + P2) − min L
+# is strictly sequential along the scan axis, so the XLA `lax.scan`
+# formulation pays per-step dispatch overhead and round-trips the carry
+# through HBM-adjacent buffers. Here the grid IS the scan axis (TPU grids
+# execute sequentially with pipelined block DMAs), the two direction carries
+# live in fp32 VMEM scratch across grid steps, and the backward direction
+# reads/writes mirrored rows of the same arrays via index maps — one pass
+# produces both directions' aggregations (`ops.sgm._scan_bidir` twin).
+
+
+_SGM_UNROLL = 4
+
+
+def _sgm_bidir_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
+                      of_ref, ob_ref, carry_f, carry_b):
+    i = pl.program_id(0)
+    p1 = p1_ref[0, 0]
+    big = jnp.float32(3.0e38)
+    u = cf_ref.shape[0]
+
+    def update(carry_ref, c_ref, p2_ref, out_ref, rev):
+        for k in range(u):
+            kk = u - 1 - k if rev else k
+            c = c_ref[kk].astype(jnp.float32)                 # (X, D)
+            p2 = p2_ref[0, kk].astype(jnp.float32)[:, None]   # (X, 1)
+            first = (i == 0) & (k == 0)
+
+            @pl.when(first)
+            def _init():
+                carry_ref[:] = c
+                out_ref[kk] = c.astype(out_ref.dtype)
+
+            @pl.when(~first)
+            def _step():
+                l_prev = carry_ref[:]
+                x = l_prev.shape[0]
+                pad = jnp.full((x, 1), big, jnp.float32)
+                sp = jnp.concatenate([pad, l_prev[:, :-1]], axis=1)
+                sm = jnp.concatenate([l_prev[:, 1:], pad], axis=1)
+                min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
+                cand = jnp.minimum(
+                    l_prev,
+                    jnp.minimum(jnp.minimum(sp, sm) + p1, min_prev + p2))
+                l_new = c + cand - min_prev
+                carry_ref[:] = l_new
+                out_ref[kk] = l_new.astype(out_ref.dtype)
+
+    update(carry_f, cf_ref, pf_ref, of_ref, rev=False)
+    update(carry_b, cb_ref, pb_ref, ob_ref, rev=True)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Forward+backward SGM aggregation along axis 0 of (S, X, D) cost,
+    returned pre-summed (same contract as `ops.sgm._scan_bidir`).
+
+    p2_eff: (S, X); p1: scalar. D must be a multiple of 128 and X a multiple
+    of the dtype tile (8 fp32 / 16 bf16) for clean lane/sublane tiling.
+    """
+    s, x, d = cost.shape
+    u = _SGM_UNROLL if s % _SGM_UNROLL == 0 else 1
+    nb = s // u
+    p1_arr = jnp.asarray(p1, jnp.float32).reshape(1, 1)
+    p2_blk = p2_eff.reshape(nb, u, x)
+
+    out_f, out_b = pl.pallas_call(
+        _sgm_bidir_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((u, x, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((u, x, d), lambda i: (nb - 1 - i, 0, 0)),
+            pl.BlockSpec((1, u, x), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, u, x), lambda i: (nb - 1 - i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((u, x, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((u, x, d), lambda i: (nb - 1 - i, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((s, x, d), cost.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((x, d), jnp.float32)] * 2,
+        interpret=interpret,
+    )(p1_arr, cost, cost, p2_blk, p2_blk)
+    return out_f + out_b

@@ -92,7 +92,8 @@ def _scan_bidir(cost: jax.Array, p1: jax.Array, p2_eff: jax.Array,
 def sgm_aggregate(cost: jax.Array, grad: jax.Array,
                   pi1: float = 16.0, pi2: float = 64.0,
                   tau_so: float = 8.0, q1: float = 1.0, q2: float = 1.0,
-                  penalty_scale: jax.Array | None = None) -> jax.Array:
+                  penalty_scale: jax.Array | None = None,
+                  use_pallas: bool | None = None) -> jax.Array:
     """4-direction SGM aggregation of (H, W, D) cost.
 
     Penalty modulation mirrors `sgm2`'s alpha/tau_so scheme in spirit: where
@@ -119,8 +120,19 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     c_lr = jnp.moveaxis(cost, 1, 0)
     p2_lr = p2_map.T  # (W, H)
     p1_s = jnp.mean(p1_map)  # P1 is effectively constant in the reference
-    agg = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
-    agg = agg + _scan_bidir(cost, p1_s, p2_map)
+    if use_pallas is None:
+        # the Pallas grid-as-scan kernel needs real TPU tiling (D % 128,
+        # X % sublane); fall back to the lax.scan form elsewhere
+        sub = 16 if cost.dtype == jnp.bfloat16 else 8
+        use_pallas = (jax.default_backend() == "tpu" and d % 128 == 0
+                      and h % sub == 0 and w % sub == 0)
+    if use_pallas:
+        from .pallas_kernels import sgm_scan_bidir
+        agg = jnp.moveaxis(sgm_scan_bidir(c_lr, p2_lr, p1_s), 0, 1)
+        agg = agg + sgm_scan_bidir(cost, p2_map, p1_s)
+    else:
+        agg = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
+        agg = agg + _scan_bidir(cost, p1_s, p2_map)
     return agg
 
 

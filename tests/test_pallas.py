@@ -48,3 +48,18 @@ def test_dispatch_wrapper_falls_back_on_cpu(rng):
     d = pk.hamming_distance_matrix(a, b)
     np.testing.assert_array_equal(np.asarray(d),
                                   np.asarray(hamming.hamming_distance_matrix(a, b)))
+
+
+def test_sgm_scan_bidir_matches_lax_scan(rng):
+    """Pallas grid-as-scan SGM kernel == the lax.scan reference, both
+    directions, unrolled and u=1 fallback paths (interpret mode)."""
+    from cvids_tpu.ops import sgm
+    from cvids_tpu.ops.pallas_kernels import sgm_scan_bidir
+
+    p1 = jnp.asarray(16.0)
+    for s in (48, 45):  # 48 hits the unrolled path, 45 the u=1 fallback
+        cost = jnp.asarray(rng.uniform(0, 50, (s, 32, 128)), jnp.float32)
+        p2 = jnp.asarray(rng.uniform(30, 70, (s, 32)), jnp.float32)
+        ref = sgm._scan_bidir(cost, p1, p2)
+        out = sgm_scan_bidir(cost, p2, p1, interpret=True)
+        assert np.abs(np.asarray(ref) - np.asarray(out)).max() < 1e-4

@@ -12,7 +12,10 @@ the collaborative server. Scores ATE against the dataset ground truth.
 import argparse
 import sys
 
+import os
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

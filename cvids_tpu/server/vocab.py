@@ -14,6 +14,7 @@ Scoring is DBoW2's normalized-L1: s(v, w) = 1 - 0.5 * |v/|v| - w/|w||_1.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -21,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["Vocabulary", "train_vocabulary", "quantize", "bow_vector",
-           "score_database", "BowDatabase"]
+           "score_database", "BowDatabase", "TreeVocabulary",
+           "load_dbow_binary", "save_dbow_binary", "tree_from_trained",
+           "quantize_tree", "sparse_bow", "SparseBowDatabase"]
 
 
 class Vocabulary(NamedTuple):
@@ -173,5 +176,248 @@ class BowDatabase:
         valid &= ~(same & recent)
         s = np.asarray(score_database(jnp.asarray(vec), jnp.asarray(self.vectors),
                                       jnp.asarray(valid)))
+        order = np.argsort(-s)[:top_k]
+        return order, s[order]
+
+
+# ---------------------------------------------------------------------------
+# DBoW2-binary-compatible explicit-tree vocabulary + sparse BoW
+# ---------------------------------------------------------------------------
+#
+# The reference ships a pretrained k=10 L=6 vocabulary in the VINS binary
+# format (`brief_k10L6.bin`, struct layout `/root/reference/server_pose_graph/
+# ThirdParty/VocabularyBinary.hpp:10-43`, loader `ThirdParty/DBoW/
+# TemplatedVocabulary.h:1509-1561`). At 10^6 words the dense (W,) BoW path
+# above is the wrong shape — a keyframe touches <= #features words — so this
+# section provides (a) a loader/saver for the reference's exact on-disk
+# format, (b) batched quantization through an explicit (possibly incomplete)
+# tree, (c) fixed-capacity SPARSE BoW vectors and a database whose query
+# densifies only the query vector and gathers it at the stored entries'
+# word ids — the inverted-index access pattern (`TemplatedDatabase.h:
+# 607-728`) as two array ops.
+
+
+class TreeVocabulary(NamedTuple):
+    """Explicit-tree vocabulary (handles incomplete trees, unlike the
+    implicit complete-tree `Vocabulary`)."""
+
+    children: np.ndarray    # (N_nodes, k) int32 node ids, -1 = missing
+    node_desc: np.ndarray   # (N_nodes, 8) uint32
+    word_id: np.ndarray     # (N_nodes,) int32, -1 for internal nodes
+    weights: np.ndarray     # (num_words,) float32 idf word weights
+    k: int
+    levels: int
+    num_words: int
+    scoring_type: int = 0   # L1_NORM (DBoW2 enum), carried for re-export
+    weighting_type: int = 0  # TF_IDF
+
+
+def load_dbow_binary(path: str) -> TreeVocabulary:
+    """Parse the VINS/DBoW2 binary vocabulary format (header 6×int32, then
+    nNodes × {int32 nodeId, int32 parentId, float64 weight, uint64 desc[4]},
+    then nWords × {int32 nodeId, int32 wordId})."""
+    with open(path, "rb") as f:
+        head = np.fromfile(f, np.int32, 6)
+        k, levels, scoring, weighting, n_nodes, n_words = (int(x) for x in head)
+        node_dt = np.dtype([("nodeId", "<i4"), ("parentId", "<i4"),
+                            ("weight", "<f8"), ("desc", "<u8", (4,))])
+        nodes = np.fromfile(f, node_dt, n_nodes)
+        word_dt = np.dtype([("nodeId", "<i4"), ("wordId", "<i4")])
+        words = np.fromfile(f, word_dt, n_words)
+
+    total = n_nodes + 1  # +1: root is implicit (id 0), like the reference
+    children = np.full((total, k), -1, np.int32)
+    node_desc = np.zeros((total, 8), np.uint32)
+    node_weight = np.zeros(total, np.float64)
+    child_count = np.zeros(total, np.int32)
+    nid = nodes["nodeId"]
+    pid = nodes["parentId"]
+    node_desc[nid] = nodes["desc"].view(np.uint32).reshape(-1, 8)
+    node_weight[nid] = nodes["weight"]
+    # children in file order (the reference push_backs in this order, which
+    # fixes the tie-breaking order of the descent)
+    for i in range(n_nodes):
+        p = pid[i]
+        children[p, child_count[p]] = nid[i]
+        child_count[p] += 1
+
+    word_id = np.full(total, -1, np.int32)
+    word_id[words["nodeId"]] = words["wordId"]
+    weights = np.zeros(n_words, np.float32)
+    weights[word_id[words["nodeId"]]] = node_weight[words["nodeId"]].astype(np.float32)
+    return TreeVocabulary(children, node_desc, word_id, weights, k, levels,
+                          n_words, scoring, weighting)
+
+
+def save_dbow_binary(path: str, tree: TreeVocabulary) -> None:
+    """Write a TreeVocabulary in the reference's binary format (round-trips
+    through `load_dbow_binary`; also lets our trained vocabularies be used
+    by reference-stack consumers)."""
+    total = tree.children.shape[0]
+    is_child = np.zeros(total, bool)
+    order = []
+    # emit nodes in BFS order, root (0) implicit
+    queue = [0]
+    while queue:
+        n = queue.pop(0)
+        for c in tree.children[n]:
+            if c >= 0:
+                order.append(int(c))
+                queue.append(int(c))
+        is_child[n] = True
+    parent_of = np.zeros(total, np.int32)
+    for n in range(total):
+        for c in tree.children[n]:
+            if c >= 0:
+                parent_of[c] = n
+    node_dt = np.dtype([("nodeId", "<i4"), ("parentId", "<i4"),
+                        ("weight", "<f8"), ("desc", "<u8", (4,))])
+    nodes = np.zeros(len(order), node_dt)
+    for i, n in enumerate(order):
+        nodes[i]["nodeId"] = n
+        nodes[i]["parentId"] = parent_of[n]
+        w = tree.word_id[n]
+        nodes[i]["weight"] = float(tree.weights[w]) if w >= 0 else 0.0
+        nodes[i]["desc"] = tree.node_desc[n].view(np.uint64)
+    word_nodes = np.nonzero(tree.word_id >= 0)[0]
+    word_dt = np.dtype([("nodeId", "<i4"), ("wordId", "<i4")])
+    words = np.zeros(len(word_nodes), word_dt)
+    words["nodeId"] = word_nodes.astype(np.int32)
+    words["wordId"] = tree.word_id[word_nodes]
+    with open(path, "wb") as f:
+        np.asarray([tree.k, tree.levels, tree.scoring_type,
+                    tree.weighting_type, len(order), len(word_nodes)],
+                   np.int32).tofile(f)
+        nodes.tofile(f)
+        words.tofile(f)
+
+
+def tree_from_trained(voc: Vocabulary) -> TreeVocabulary:
+    """Convert the implicit complete-tree `Vocabulary` into the explicit
+    form (e.g. to export via `save_dbow_binary`)."""
+    k, levels = voc.k, voc.levels
+    counts = [k ** (l + 1) for l in range(levels)]
+    offsets = np.concatenate([[1], 1 + np.cumsum(counts)])  # node id ranges
+    total = int(offsets[-1])
+    children = np.full((total, k), -1, np.int32)
+    node_desc = np.zeros((total, 8), np.uint32)
+    word_id = np.full(total, -1, np.int32)
+    for l in range(levels):
+        base = offsets[l]
+        n_l = counts[l]
+        node_desc[base:base + n_l] = np.asarray(voc.level_desc[l], np.uint32)
+        # parents of level-l nodes: level l-1 (or root)
+        if l == 0:
+            children[0, :] = np.arange(1, 1 + k)
+        else:
+            pbase = offsets[l - 1]
+            for p in range(counts[l - 1]):
+                children[pbase + p] = base + p * k + np.arange(k)
+    leaf_base = offsets[levels - 1]
+    word_id[leaf_base:leaf_base + counts[-1]] = np.arange(counts[-1])
+    return TreeVocabulary(children, node_desc, word_id,
+                          np.asarray(voc.weights, np.float32), k, levels,
+                          int(counts[-1]))
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def _quantize_tree(children, node_desc, word_id, descriptors, levels):
+    n = descriptors.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(levels):
+        ch = children[node]                              # (N, k)
+        cd = node_desc[jnp.maximum(ch, 0)]               # (N, k, 8)
+        d = jnp.sum(jax.lax.population_count(
+            descriptors[:, None, :] ^ cd).astype(jnp.int32), -1)
+        d = jnp.where(ch >= 0, d, 1 << 20)
+        nxt = jnp.take_along_axis(ch, jnp.argmin(d, -1)[:, None], 1)[:, 0]
+        node = jnp.where(nxt >= 0, nxt, node)            # early leaf: stay
+    return word_id[node]
+
+
+def quantize_tree(tree: TreeVocabulary, descriptors: jax.Array) -> jax.Array:
+    """(N, 8) uint32 -> (N,) int32 word ids via explicit-tree descent."""
+    return _quantize_tree(jnp.asarray(tree.children),
+                          jnp.asarray(tree.node_desc),
+                          jnp.asarray(tree.word_id),
+                          descriptors, tree.levels)
+
+
+def sparse_bow(tree: TreeVocabulary, descriptors: jax.Array,
+               valid: jax.Array | None = None,
+               capacity: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """L1-normalized tf-idf BoW as fixed-capacity sparse (ids, values).
+
+    Returns (word ids (capacity,) int32 with -1 padding, values (capacity,)
+    float32). Duplicate words are merged host-side (tiny)."""
+    words = np.asarray(quantize_tree(tree, descriptors))
+    if valid is not None:
+        words = words[np.asarray(valid)]
+    words = words[words >= 0]
+    uniq, cnt = np.unique(words, return_counts=True)
+    vals = cnt.astype(np.float32) * tree.weights[uniq]
+    norm = np.abs(vals).sum()
+    if norm > 0:
+        vals = vals / norm
+    ids = np.full(capacity, -1, np.int32)
+    out = np.zeros(capacity, np.float32)
+    m = min(capacity, len(uniq))
+    keep = np.argsort(-vals)[:m]   # keep strongest words if over capacity
+    ids[:m] = uniq[keep]
+    out[:m] = vals[keep]
+    return ids, out
+
+
+@jax.jit
+def _sparse_scores(q_dense, db_ids, db_vals, db_valid):
+    q_at = q_dense[jnp.maximum(db_ids, 0)]               # (N, F)
+    ok = db_ids >= 0
+    # L1 score = sum over common words of (|v| + |w| - |v - w|) / 2
+    contrib = 0.5 * (jnp.abs(q_at) + jnp.abs(db_vals)
+                     - jnp.abs(q_at - db_vals))
+    s = jnp.sum(jnp.where(ok, contrib, 0.0), axis=-1)
+    return jnp.where(db_valid, s, -1.0)
+
+
+class SparseBowDatabase:
+    """Fixed-capacity sparse-BoW keyframe database for large vocabularies
+    (the reference's inverted-index `BriefDatabase` at k=10 L=6 scale).
+    Query densifies only the query vector (W floats once) and gathers it at
+    the stored entries' word ids — the same touched-entries-only work the
+    inverted index does, as two array ops."""
+
+    def __init__(self, tree: TreeVocabulary, capacity: int = 4096,
+                 words_per_frame: int = 256):
+        self.tree = tree
+        self.f = words_per_frame
+        self.ids = np.full((capacity, words_per_frame), -1, np.int32)
+        self.vals = np.zeros((capacity, words_per_frame), np.float32)
+        self.client = np.full(capacity, -1, np.int32)
+        self.count = 0
+
+    def add_descriptors(self, descriptors, client_id: int,
+                        valid=None) -> int:
+        ids, vals = sparse_bow(self.tree, descriptors, valid, self.f)
+        idx = self.count
+        self.ids[idx] = ids
+        self.vals[idx] = vals
+        self.client[idx] = client_id
+        self.count += 1
+        return idx
+
+    def query(self, descriptors, query_client: int, exclude_recent: int = 10,
+              top_k: int = 4, valid=None):
+        ids, vals = sparse_bow(self.tree, descriptors, valid, self.f)
+        q_dense = np.zeros(self.tree.num_words, np.float32)
+        sel = ids >= 0
+        q_dense[ids[sel]] = vals[sel]
+        ok = np.arange(len(self.client)) < self.count
+        same = self.client == query_client
+        recent = np.arange(len(self.client)) >= max(self.count - exclude_recent, 0)
+        ok &= ~(same & recent)
+        s = np.asarray(_sparse_scores(jnp.asarray(q_dense),
+                                      jnp.asarray(self.ids),
+                                      jnp.asarray(self.vals),
+                                      jnp.asarray(ok)))
         order = np.argsort(-s)[:top_k]
         return order, s[order]

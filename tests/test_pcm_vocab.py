@@ -109,3 +109,42 @@ def test_bow_database_query_excludes_recent(rng):
     assert (scores <= 0).all()  # everything is recent & same client
     idx, scores = db.query(v, query_client=1, exclude_recent=10)
     assert scores[0] > 0.99  # other clients see them
+
+
+def test_dbow_binary_roundtrip_and_sparse_db(rng, tmp_path):
+    """DBoW2 binary format save/load round-trip, explicit-tree quantization
+    consistency with the implicit tree, and sparse-database retrieval."""
+    from cvids_tpu.server import vocab as V
+
+    desc = rng.integers(0, 2**32, (400, 8), dtype=np.uint32)
+    voc = V.train_vocabulary(desc, k=4, levels=3, seed=0)
+    tree = V.tree_from_trained(voc)
+
+    # quantization through the explicit tree == through the implicit one
+    q = rng.integers(0, 2**32, (64, 8), dtype=np.uint32)
+    w_imp = np.asarray(V.quantize(voc, jnp.asarray(q)))
+    w_tree = np.asarray(V.quantize_tree(tree, jnp.asarray(q)))
+    assert (w_imp == w_tree).all()
+
+    # binary format round-trip (the reference's VocabularyBinary layout)
+    path = str(tmp_path / "voc.bin")
+    V.save_dbow_binary(path, tree)
+    tree2 = V.load_dbow_binary(path)
+    assert tree2.k == tree.k and tree2.levels == tree.levels
+    assert tree2.num_words == tree.num_words
+    w_tree2 = np.asarray(V.quantize_tree(tree2, jnp.asarray(q)))
+    assert (w_tree2 == w_tree).all()
+    assert np.allclose(tree2.weights, tree.weights, atol=1e-6)
+
+    # sparse database: a revisited frame scores highest
+    db = V.SparseBowDatabase(tree2, capacity=64, words_per_frame=64)
+    frames = [rng.integers(0, 2**32, (60, 8), dtype=np.uint32)
+              for _ in range(12)]
+    for i, fr in enumerate(frames):
+        db.add_descriptors(fr, client_id=0 if i < 6 else 1)
+    # query with a noisy copy of frame 2 (flip a few bits), as client 1
+    noisy = frames[2].copy()
+    noisy[:5] ^= 1 << 7
+    idx, scores = db.query(noisy, query_client=1, exclude_recent=2, top_k=3)
+    assert idx[0] == 2, (idx, scores)
+    assert scores[0] > scores[1] + 0.05

@@ -19,7 +19,8 @@ import numpy as np
 from .hamming import pack_bits
 from .image import bilinear_sample, gaussian_blur
 
-__all__ = ["brief_pattern", "compute_brief", "BRIEF_BITS", "PATCH_HALF"]
+__all__ = ["brief_pattern", "compute_brief", "BRIEF_BITS", "PATCH_HALF",
+           "load_brief_pattern_yaml", "save_brief_pattern_yaml"]
 
 BRIEF_BITS = 256
 PATCH_HALF = 24  # pattern coordinates live in [-24, 24], as in DVision BRIEF
@@ -60,3 +61,40 @@ def compute_brief(img: jax.Array, xy: jax.Array,
     i2 = bilinear_sample(blurred, p2)
     bits = (i1 < i2).astype(jnp.uint32)  # DVision: bit set iff I(p1) < I(p2)
     return pack_bits(bits)
+
+
+def load_brief_pattern_yaml(path: str) -> np.ndarray:
+    """Load a DVision BRIEF test pattern from the reference's
+    `brief_pattern.yml` format (OpenCV FileStorage YAML with int lists
+    x1, y1, x2, y2 — read at `/root/reference/server_pose_graph/src/
+    server_brief_extractor.cpp:14-23`). Returns (bits, 4) int pattern
+    usable as `compute_brief(..., pattern=...)`, making descriptors
+    compatible with a vocabulary trained on that pattern."""
+    import re
+
+    text = open(path).read()
+    cols = []
+    for key in ("x1", "y1", "x2", "y2"):
+        m = re.search(rf"^\s*{key}\s*:\s*\[([^\]]*)\]", text,
+                      re.MULTILINE | re.DOTALL)
+        if m is None:
+            raise ValueError(f"pattern file missing key {key!r}: {path}")
+        cols.append(np.asarray(
+            [int(tok) for tok in m.group(1).replace(",", " ").split()],
+            np.int32))
+    x1, y1, x2, y2 = cols
+    if not (len(x1) == len(y1) == len(x2) == len(y2)):
+        raise ValueError("pattern list lengths differ")
+    return np.stack([x1, y1, x2, y2], axis=1)
+
+
+def save_brief_pattern_yaml(path: str, pattern: np.ndarray) -> None:
+    """Write a pattern in the OpenCV-FileStorage YAML layout the reference
+    reads (round-trips through `load_brief_pattern_yaml`)."""
+    p = np.asarray(pattern, np.int64)
+    with open(path, "w") as f:
+        f.write("%YAML:1.0\n---\n")
+        for key, col in zip(("x1", "y1", "x2", "y2"),
+                            (p[:, 0], p[:, 1], p[:, 2], p[:, 3])):
+            body = ", ".join(str(int(v)) for v in col)
+            f.write(f"{key}: [ {body} ]\n")

@@ -152,3 +152,22 @@ def test_klt_flags_lost_points(rng):
     pts = jnp.asarray([[40.0, 40.0], [64.0, 48.0]])
     res = klt.track_points(jnp.asarray(img0), jnp.asarray(img1), pts, max_residual=20.0)
     assert not np.asarray(res.valid).all()
+
+
+def test_brief_pattern_yaml_roundtrip(tmp_path):
+    """Pattern file in the reference's brief_pattern.yml (OpenCV
+    FileStorage) layout loads back identically and drives compute_brief."""
+    from cvids_tpu.ops import brief
+
+    pat = brief.brief_pattern(seed=3)
+    path = str(tmp_path / "pattern.yml")
+    brief.save_brief_pattern_yaml(path, pat)
+    pat2 = brief.load_brief_pattern_yaml(path)
+    assert (np.asarray(pat, np.int64) == pat2).all()
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64)), jnp.float32)
+    xy = jnp.asarray([[32.0, 32.0], [30.0, 28.0]])
+    d1 = np.asarray(brief.compute_brief(img, xy, pattern=pat))
+    d2 = np.asarray(brief.compute_brief(img, xy, pattern=pat2))
+    assert (d1 == d2).all()

@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 from . import depth_filter as df_xla
 from . import hamming as hamming_xla
 
-__all__ = ["hamming_matrix", "depth_filter_update", "pallas_supported"]
+__all__ = ["hamming_matrix", "depth_filter_update", "pallas_supported",
+           "sgm_scan_bidir", "wta_pallas"]
 
 
 def pallas_supported() -> bool:
@@ -184,7 +185,7 @@ def depth_filter_update(state: df_xla.FilterState, x: jax.Array,
 # produces both directions' aggregations (`ops.sgm._scan_bidir` twin).
 
 
-_SGM_UNROLL = 4
+_SGM_UNROLL = 8
 
 
 def _sgm_bidir_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
@@ -259,3 +260,78 @@ def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
         interpret=interpret,
     )(p1_arr, cost, cost, p2_blk, p2_blk)
     return out_f + out_b
+
+
+# ---------------------------------------------------------------------------
+# Fused WTA (winner-take-all + subpixel + peak rejection)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation of `ops.sgm.wta_depth` performs ~5 separate reductions
+# over the aggregated (H, W, D) volume (argmin, min, two one-hot neighbor
+# contractions, masked second-best) after an fp32 cast — several full-volume
+# HBM passes. Here the two part-volumes (horizontal and vertical SGM
+# aggregates, still unsummed) are read ONCE as bf16 tiles, summed in
+# registers, and every per-pixel statistic comes out of that single pass
+# (the reference's `filterCostKernel`, `calc_cost.cu:235-283`).
+
+
+def _wta_kernel(a_ref, b_ref, idx_ref, conf_ref, *, d, peak_ratio):
+    x = a_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    c0 = jnp.min(x, axis=-1)
+    is_min = x == c0[..., None]
+    idx = jnp.min(jnp.where(is_min, lane, d), axis=-1)  # first-min argmin
+    im = jnp.maximum(idx - 1, 0)
+    ip = jnp.minimum(idx + 1, d - 1)
+    cm = jnp.sum(jnp.where(lane == im[..., None], x, 0.0), axis=-1)
+    cp = jnp.sum(jnp.where(lane == ip[..., None], x, 0.0), axis=-1)
+    denom = cm + cp - 2.0 * c0
+    delta = jnp.where(denom > 1e-6,
+                      0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
+    idx_ref[:] = idx.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
+    masked = jnp.where(jnp.abs(lane - idx[..., None]) <= 1,
+                       jnp.float32(3.0e38), x)
+    c2 = jnp.min(masked, axis=-1)
+    conf = (c0 < peak_ratio * c2) & (idx > 0) & (idx < d - 1)
+    conf_ref[:] = conf.astype(jnp.int32)
+
+
+def _wta_tiles(h: int, w: int, d: int, itemsize: int) -> tuple[int, int] | None:
+    """Pick (th, tw=w) tiles for the WTA grid; None if shapes don't divide."""
+    if d % 128 != 0 or w % 16 != 0 or h % 8 != 0:
+        return None
+    th = 32
+    while th > 8 and (h % th != 0 or th * w * d * itemsize > 4 * 2 ** 20):
+        th //= 2
+    if h % th != 0:
+        return None
+    return th, w
+
+
+@partial(jax.jit, static_argnames=("peak_ratio", "interpret"))
+def wta_pallas(vol_a: jax.Array, vol_b: jax.Array,
+               peak_ratio: float = 0.98,
+               interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """WTA over the summed volume `vol_a + vol_b` (both (H, W, D)) in one
+    pass. Returns (idx_f (H, W) float32, conf (H, W) bool) with the same
+    semantics as `ops.sgm.wta_depth` (minus the valid_count gate, applied by
+    the caller on (H, W) maps)."""
+    h, w, d = vol_a.shape
+    tiles = _wta_tiles(h, w, d, vol_a.dtype.itemsize)
+    assert tiles is not None, f"unsupported WTA shape {(h, w, d)}"
+    th, tw = tiles
+    grid = (h // th, w // tw)
+    in_spec = pl.BlockSpec((th, tw, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    idx_f, conf = pl.pallas_call(
+        partial(_wta_kernel, d=d, peak_ratio=peak_ratio),
+        grid=grid,
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
+                   jax.ShapeDtypeStruct((h, w), jnp.int32)),
+        interpret=interpret,
+    )(vol_a, vol_b)
+    return idx_f, conf != 0

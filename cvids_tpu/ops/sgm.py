@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sgm_aggregate", "wta_depth", "sgm_depth"]
+__all__ = ["sgm_aggregate", "sgm_aggregate_parts", "wta_depth", "sgm_depth"]
 
 
 def _shift_d(l: jax.Array, s: int) -> jax.Array:
@@ -105,6 +105,22 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     per-pixel `0.8 + 1.5 mean³/(1+|∇|³)` map from `InitReference`,
     `sgm_stereo_mapper.cpp:55-123`).
     """
+    pa, pb = sgm_aggregate_parts(cost, grad, pi1=pi1, pi2=pi2, tau_so=tau_so,
+                                 q1=q1, q2=q2, penalty_scale=penalty_scale,
+                                 use_pallas=use_pallas)
+    return pa + pb
+
+
+def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
+                        pi1: float = 16.0, pi2: float = 64.0,
+                        tau_so: float = 8.0, q1: float = 1.0, q2: float = 1.0,
+                        penalty_scale: jax.Array | None = None,
+                        use_pallas: bool | None = None
+                        ) -> tuple[jax.Array, jax.Array]:
+    """The two halves of `sgm_aggregate` — (horizontal L→R+R→L, vertical
+    T→B+B→T), both (H, W, D) and not yet summed, so a fused consumer (the
+    Pallas WTA kernel) can do the final add in registers instead of an extra
+    full-volume HBM pass."""
     big_jump = grad > tau_so
     p2_map = jnp.where(big_jump, pi2 / q2, pi2).astype(cost.dtype)
     p1_map = jnp.where(big_jump, pi1 / q1, pi1).astype(cost.dtype)
@@ -121,19 +137,24 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     p2_lr = p2_map.T  # (W, H)
     p1_s = jnp.mean(p1_map)  # P1 is effectively constant in the reference
     if use_pallas is None:
-        # the Pallas grid-as-scan kernel needs real TPU tiling (D % 128,
-        # X % sublane); fall back to the lax.scan form elsewhere
-        sub = 16 if cost.dtype == jnp.bfloat16 else 8
-        use_pallas = (jax.default_backend() == "tpu" and d % 128 == 0
-                      and h % sub == 0 and w % sub == 0)
+        use_pallas = _pallas_ok(cost)
     if use_pallas:
         from .pallas_kernels import sgm_scan_bidir
-        agg = jnp.moveaxis(sgm_scan_bidir(c_lr, p2_lr, p1_s), 0, 1)
-        agg = agg + sgm_scan_bidir(cost, p2_map, p1_s)
+        part_h = jnp.moveaxis(sgm_scan_bidir(c_lr, p2_lr, p1_s), 0, 1)
+        part_v = sgm_scan_bidir(cost, p2_map, p1_s)
     else:
-        agg = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
-        agg = agg + _scan_bidir(cost, p1_s, p2_map)
-    return agg
+        part_h = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
+        part_v = _scan_bidir(cost, p1_s, p2_map)
+    return part_h, part_v
+
+
+def _pallas_ok(cost: jax.Array) -> bool:
+    # the Pallas grid-as-scan kernel needs real TPU tiling (D % 128,
+    # X % sublane); fall back to the lax.scan form elsewhere
+    h, w, d = cost.shape
+    sub = 16 if cost.dtype == jnp.bfloat16 else 8
+    return (jax.default_backend() == "tpu" and d % 128 == 0
+            and h % sub == 0 and w % sub == 0)
 
 
 def wta_depth(cost: jax.Array, valid_count: jax.Array | None = None,
@@ -177,9 +198,19 @@ def sgm_depth(cost: jax.Array, grad: jax.Array, inv_depths: jax.Array,
     """Aggregate + WTA + map to inverse depth. Returns (inv_depth, conf).
 
     Aggregation runs in the cost dtype (bf16-safe: min algebra); WTA's
-    subpixel parabola always runs fp32."""
-    agg = sgm_aggregate(cost, grad, **kw)
-    idx_f, conf = wta_depth(agg.astype(jnp.float32), valid_count, min_count)
+    subpixel parabola always runs fp32. On TPU the two aggregate halves feed
+    the fused Pallas WTA kernel directly (one volume read, no fp32
+    materialization)."""
+    part_h, part_v = sgm_aggregate_parts(cost, grad, **kw)
+    from .pallas_kernels import _wta_tiles, wta_pallas
+    if (_pallas_ok(cost) and kw.get("use_pallas") is not False
+            and _wta_tiles(*cost.shape, cost.dtype.itemsize) is not None):
+        idx_f, conf = wta_pallas(part_h, part_v)
+        if valid_count is not None:
+            conf = conf & (valid_count >= min_count)
+    else:
+        agg = (part_h + part_v).astype(jnp.float32)
+        idx_f, conf = wta_depth(agg, valid_count, min_count)
     d = inv_depths.shape[0]
     step = inv_depths[1] - inv_depths[0]
     inv_depth = inv_depths[0] + idx_f * step

@@ -63,3 +63,44 @@ def test_sgm_scan_bidir_matches_lax_scan(rng):
         ref = sgm._scan_bidir(cost, p1, p2)
         out = sgm_scan_bidir(cost, p2, p1, interpret=True)
         assert np.abs(np.asarray(ref) - np.asarray(out)).max() < 1e-4
+
+
+def test_wta_pallas_matches_xla(rng):
+    """Fused Pallas WTA == sgm.wta_depth on the summed volume, including
+    tie-at-minimum and boundary-index cases (interpret mode)."""
+    from cvids_tpu.ops import sgm
+    from cvids_tpu.ops.pallas_kernels import wta_pallas
+
+    h, w, d = 16, 32, 128
+    a = rng.uniform(0, 50, (h, w, d)).astype(np.float32)
+    b = rng.uniform(0, 50, (h, w, d)).astype(np.float32)
+    # exact ties at two depths (argmin must take the first)
+    a[0, 0, :] = 10.0
+    b[0, 0, :] = 5.0
+    a[1, 1, 3] = a[1, 1, 90] = -60.0
+    # minimum at the boundary indices -> conf must be False there
+    a[2, 2, 0] = -100.0
+    a[3, 3, d - 1] = -100.0
+    av, bv = jnp.asarray(a), jnp.asarray(b)
+    ref_idx, ref_conf = sgm.wta_depth((av + bv).astype(jnp.float32))
+    idx, conf = wta_pallas(av, bv, interpret=True)
+    np.testing.assert_allclose(np.asarray(idx), np.asarray(ref_idx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))
+
+
+def test_wta_pallas_bf16_inputs(rng):
+    """bf16 part-volumes are summed in fp32 in-kernel; results track the
+    XLA path run on the same bf16 data."""
+    from cvids_tpu.ops import sgm
+    from cvids_tpu.ops.pallas_kernels import wta_pallas
+
+    h, w, d = 8, 16, 128
+    a = jnp.asarray(rng.uniform(0, 50, (h, w, d)), jnp.bfloat16)
+    b = jnp.asarray(rng.uniform(0, 50, (h, w, d)), jnp.bfloat16)
+    ref_idx, ref_conf = sgm.wta_depth(
+        (a.astype(jnp.float32) + b.astype(jnp.float32)))
+    idx, conf = wta_pallas(a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(idx), np.asarray(ref_idx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))

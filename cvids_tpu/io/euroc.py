@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["EurocSequence", "load_euroc", "available"]
+__all__ = ["EurocSequence", "load_euroc", "available", "load_agent_config"]
 
 
 def available(root: str) -> bool:
@@ -55,6 +55,45 @@ def _read_csv(path: str) -> np.ndarray:
                 continue
             rows.append(row)
     return rows
+
+
+def load_agent_config(root: str, cam: str = "cam0"):
+    """Build an `AgentConfig` from the dataset's own `sensor.yaml` files
+    (intrinsics/distortion/resolution from `mav0/cam0/sensor.yaml`, noise
+    densities from `mav0/imu0/sensor.yaml`, camera extrinsics from `T_BS`) —
+    the role the reference's per-agent VINS config yaml plays
+    (`collaborative_server_system.cpp:110-189`). Returns None if the camera
+    sensor.yaml is absent (caller falls back to defaults)."""
+    import yaml
+
+    from ..utils.config import AgentConfig, CameraConfig, ImuNoise
+
+    cam_path = os.path.join(root, "mav0", cam, "sensor.yaml")
+    if not os.path.isfile(cam_path):
+        return None
+    with open(cam_path) as f:
+        text = f.read().replace("%YAML:1.0", "").replace("!!opencv-matrix", "")
+    c = yaml.safe_load(text)
+    fx, fy, cx, cy = c["intrinsics"]
+    w, h = c["resolution"]
+    dist = list(c.get("distortion_coefficients", [0, 0, 0, 0]))
+    t_bs = np.asarray(c["T_BS"]["data"], np.float64).reshape(4, 4)
+    cam_cfg = CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy,
+                           k1=dist[0], k2=dist[1], p1=dist[2], p2=dist[3],
+                           width=int(w), height=int(h))
+    kwargs = dict(camera=cam_cfg,
+                  r_cb=tuple(map(tuple, t_bs[:3, :3].T)),
+                  p_bc=tuple(t_bs[:3, 3]))
+    imu_path = os.path.join(root, "mav0", "imu0", "sensor.yaml")
+    if os.path.isfile(imu_path):
+        with open(imu_path) as f:
+            i = yaml.safe_load(f.read().replace("%YAML:1.0", ""))
+        kwargs["imu"] = ImuNoise(
+            acc_n=float(i.get("accelerometer_noise_density", 0.08)),
+            gyr_n=float(i.get("gyroscope_noise_density", 0.004)),
+            acc_w=float(i.get("accelerometer_random_walk", 4e-4)),
+            gyr_w=float(i.get("gyroscope_random_walk", 4e-6)))
+    return AgentConfig(**kwargs)
 
 
 def load_euroc(root: str, cam: str = "cam0") -> EurocSequence:

@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", action="append", required=True,
                     help="EuRoC sequence root (contains mav0/)")
@@ -27,7 +27,7 @@ def main():
                          "cameras run 20 Hz; 2 keyframes/s by default)")
     ap.add_argument("--max-kf", type=int, default=200)
     ap.add_argument("--tum-prefix", type=str, default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from cvids_tpu.io import euroc
     for root in args.seq:
@@ -42,7 +42,10 @@ def main():
     from cvids_tpu.vio.frontend import AgentFrontend
 
     seqs = [euroc.load_euroc(r) for r in args.seq]
-    frontends = [AgentFrontend(AgentConfig(), cid) for cid in range(len(seqs))]
+    # per-agent calibration from the dataset's own sensor.yaml when present
+    # (the role of the reference's per-agent config_file_i params)
+    cfgs = [euroc.load_agent_config(r) or AgentConfig() for r in args.seq]
+    frontends = [AgentFrontend(cfg, cid) for cid, cfg in enumerate(cfgs)]
 
     # collect packets per agent (vocabulary trained on the first agent's
     # descriptors, as the reference trains DBoW on generic imagery)

@@ -1,0 +1,83 @@
+"""EuRoC ASL-format round-trip: synthetic writer -> loader -> collaborative run.
+
+Grounds the real-dataset path (`io.euroc` + `examples/run_euroc.py`) without
+the dataset on disk: `io.euroc_synth.write_euroc_sequence` renders a
+synthetic sequence into the exact on-disk layout (nanosecond CSVs,
+sensor.yaml calibration, PNG frames) that `load_euroc`/`load_agent_config`
+consume.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from cvids_tpu.io import euroc, euroc_synth, synthetic
+from cvids_tpu.utils.config import AgentConfig, CameraConfig
+
+SMALL_CAM = CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                         k1=0.0, k2=0.0, p1=0.0, p2=0.0,
+                         width=320, height=240)
+
+
+def test_euroc_write_load_roundtrip(tmp_path):
+    root = str(tmp_path / "seq0")
+    cfg = AgentConfig(camera=SMALL_CAM)
+    euroc_synth.write_euroc_sequence(root, cfg=cfg, duration=2.0,
+                                     cam_rate=2.0, imu_rate=100.0,
+                                     num_landmarks=60, seed=3)
+    assert euroc.available(root)
+    seq = euroc.load_euroc(root)
+    # timestamps back in seconds, monotone, imu rate as requested
+    assert len(seq.cam_t) == 5
+    assert np.allclose(np.diff(seq.cam_t), 0.5, atol=1e-6)
+    assert np.allclose(np.diff(seq.imu_t), 0.01, atol=1e-6)
+    # imu measures gravity (stationary-ish circular path: mean |acc| ~ g)
+    assert abs(np.linalg.norm(seq.acc, axis=1).mean() - 9.81) < 1.0
+    img = seq.load_image(2)
+    assert img.shape == (240, 320) and img.max() > 50
+    # ground truth loaded and consistent with the trajectory generator
+    traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35, height_amp=0.2)
+    p_ref, _, _ = traj.pose(seq.gt_t)
+    assert np.abs(seq.gt_p - p_ref).max() < 1e-6
+    # quaternions normalized, wxyz order
+    assert np.allclose(np.linalg.norm(seq.gt_q, axis=1), 1.0, atol=1e-6)
+
+    # calibration comes back through sensor.yaml
+    loaded = euroc.load_agent_config(root)
+    assert loaded is not None
+    assert loaded.camera.fx == 200.0 and loaded.camera.width == 320
+    assert np.allclose(np.asarray(loaded.r_cb), np.asarray(cfg.r_cb))
+    assert abs(loaded.imu.gyr_n - 5e-4) < 1e-12
+
+
+@pytest.mark.slow
+def test_run_euroc_example_end_to_end(tmp_path, capsys):
+    """Two synthetic agents on overlapping loops through the full example
+    script: sensor.yaml calibration, front-end on rendered pixels+IMU,
+    collaborative server, ATE vs the written ground truth."""
+    cfg = AgentConfig(camera=SMALL_CAM)
+    roots = []
+    for cid, phase in enumerate((0.0, 0.45)):
+        root = str(tmp_path / f"agent{cid}")
+        traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
+                                           height_amp=0.2, phase=phase)
+        euroc_synth.write_euroc_sequence(root, cfg=cfg, trajectory=traj,
+                                         duration=7.0, cam_rate=2.0,
+                                         imu_rate=200.0, num_landmarks=400,
+                                         seed=11 + cid)
+        roots.append(root)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "examples"))
+    import run_euroc
+    rc = run_euroc.main(["--seq", roots[0], "--seq", roots[1],
+                         "--kf-stride", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # both agents produced keyframes and ATEs were scored
+    ates = [float(line.split()[-2]) for line in out.splitlines()
+            if "ATE (sim3)" in line]
+    assert len(ates) == 2, out
+    assert max(ates) < 30.0, out  # cm

@@ -297,15 +297,29 @@ def _wta_kernel(a_ref, b_ref, idx_ref, conf_ref, *, d, peak_ratio):
 
 
 def _wta_tiles(h: int, w: int, d: int, itemsize: int) -> tuple[int, int] | None:
-    """Pick (th, tw=w) tiles for the WTA grid; None if shapes don't divide."""
-    if d % 128 != 0 or w % 16 != 0 or h % 8 != 0:
+    """Pick (th, tw) tiles for the WTA grid; None if shapes don't divide.
+
+    The kernel body materializes roughly ten tile-shaped fp32/int32
+    intermediates (x = a+b, the lane iota, the one-hot neighbor masks, the
+    peak-rejection mask, ...), so the budget is the fp32 *working set*, not
+    the input storage — budgeting only the inputs is exactly how round 1's
+    34 MB scoped-VMEM OOM at (480, 640, 128) escaped the toy-shape tests.
+    """
+    if d % 128 != 0:
         return None
-    th = 32
-    while th > 8 and (h % th != 0 or th * w * d * itemsize > 4 * 2 ** 20):
-        th //= 2
-    if h % th != 0:
-        return None
-    return th, w
+    sub = 16 if itemsize == 2 else 8
+    budget = 6 * 2 ** 20           # ~10 fp32 tiles must fit well under 16 MB
+    best = None
+    for tw in (512, 256, 128, 64, 32, 16, 8):
+        if tw % sub != 0 or w % tw != 0:
+            continue
+        for th in (32, 16, 8, 4, 2, 1):
+            if h % th != 0 or 10 * th * tw * d * 4 > budget:
+                continue
+            if best is None or th * tw > best[0] * best[1]:
+                best = (th, tw)
+            break
+    return best
 
 
 @partial(jax.jit, static_argnames=("peak_ratio", "interpret"))

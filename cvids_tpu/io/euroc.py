@@ -84,6 +84,15 @@ def load_agent_config(root: str, cam: str = "cam0"):
     kwargs = dict(camera=cam_cfg,
                   r_cb=tuple(map(tuple, t_bs[:3, :3].T)),
                   p_bc=tuple(t_bs[:3, 3]))
+    # optional feature-tracker keys (VINS `max_cnt`/`min_dist`,
+    # `config/euroc/euroc_config.yaml:44-45`) — synthetic datasets write
+    # them scaled to their resolution; real EuRoC yamls lack them
+    if "max_cnt" in c:
+        kwargs["max_features"] = int(c["max_cnt"])
+    if "min_dist" in c:
+        kwargs["min_feature_dist"] = int(c["min_dist"])
+    if "fast_threshold" in c:
+        kwargs["fast_threshold"] = float(c["fast_threshold"])
     imu_path = os.path.join(root, "mav0", "imu0", "sensor.yaml")
     if os.path.isfile(imu_path):
         with open(imu_path) as f:

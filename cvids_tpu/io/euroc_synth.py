@@ -35,7 +35,7 @@ def _write_csv(path: str, header: str, rows) -> None:
 
 
 def _cam_sensor_yaml(cfg: CameraConfig, r_cb: np.ndarray, p_bc: np.ndarray,
-                     rate_hz: float) -> str:
+                     rate_hz: float, tracker: dict | None = None) -> str:
     # T_BS = body-from-sensor; our extrinsics store r_cb (cam<-body) and
     # p_bc (cam origin in body), so R_BS = r_cb^T, t_BS = p_bc.
     t_bs = np.eye(4)
@@ -55,6 +55,10 @@ def _cam_sensor_yaml(cfg: CameraConfig, r_cb: np.ndarray, p_bc: np.ndarray,
         f"intrinsics: [{cfg.fx}, {cfg.fy}, {cfg.cx}, {cfg.cy}]\n"
         "distortion_model: radial-tangential\n"
         f"distortion_coefficients: [{cfg.k1}, {cfg.k2}, {cfg.p1}, {cfg.p2}]\n"
+        # feature-tracker keys (the reference carries these in the same
+        # per-agent config: `config/euroc/euroc_config.yaml:44-45`); the
+        # EuRoC loader treats them as optional extensions
+        + ("".join(f"{k}: {v}\n" for k, v in (tracker or {}).items()))
     )
 
 
@@ -80,6 +84,7 @@ def write_euroc_sequence(
     num_landmarks: int = 400,
     landmark_box: float = 12.0,
     seed: int = 0,
+    world_seed: int | None = None,
     gyr_noise: float = 5e-4,
     acc_noise: float = 0.01,
     bg: tuple = (0.001, -0.001, 0.0005),
@@ -101,7 +106,10 @@ def write_euroc_sequence(
         num_landmarks=0, seed=seed, gyr_noise=gyr_noise, acc_noise=acc_noise,
         bg=bg, ba=ba)
 
-    rng = np.random.default_rng(seed + 77)
+    # the landmark cloud is the *world*: agents that should co-localize must
+    # share it (same world_seed) while keeping per-agent sensor noise (seed)
+    rng = np.random.default_rng((seed if world_seed is None else world_seed)
+                                + 77)
     landmarks = np.stack([
         rng.uniform(-landmark_box, landmark_box, num_landmarks),
         rng.uniform(-landmark_box, landmark_box, num_landmarks),
@@ -144,7 +152,11 @@ def write_euroc_sequence(
     _write_csv(os.path.join(cam_dir, "data.csv"),
                "#timestamp [ns],filename", cam_rows)
     with open(os.path.join(cam_dir, "sensor.yaml"), "w") as f:
-        f.write(_cam_sensor_yaml(cam_cfg, r_cb, p_bc, cam_rate))
+        f.write(_cam_sensor_yaml(
+            cam_cfg, r_cb, p_bc, cam_rate,
+            tracker={"max_cnt": cfg.max_features,
+                     "min_dist": cfg.min_feature_dist,
+                     "fast_threshold": cfg.fast_threshold}))
 
     # imu (EuRoC column order: t, w_xyz, a_xyz)
     imu_rows = [[str(int(round(t * 1e9)))]

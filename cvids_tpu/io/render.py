@@ -8,16 +8,56 @@ reference, SURVEY.md §4.1, but with analytic ground truth).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 __all__ = ["render_blobs", "render_textured_scene", "default_scene"]
+
+
+@lru_cache(maxsize=8192)
+def _patch_params(idx: int):
+    """Per-landmark procedural texture: a fixed random mix of oriented
+    sinusoids. Deterministic in the landmark index, so every observation of
+    landmark `idx` — from any viewpoint, any agent — renders the same local
+    appearance (a fronto-parallel fiducial). Gaussian blobs are radially
+    symmetric and therefore indistinguishable to BRIEF's pairwise intensity
+    tests; these patches give each landmark a stable, unique descriptor."""
+    rng = np.random.default_rng(1000003 * (idx + 1) + 17)
+    n = 8
+    freq = rng.uniform(0.25, 0.9, n)          # rad/px, survives the σ=2 blur
+    theta = rng.uniform(0.0, np.pi, n)
+    phase = rng.uniform(0.0, 2 * np.pi, n)
+    amp = rng.uniform(0.5, 1.0, n)
+    amp /= amp.sum()
+    return freq, theta, phase, amp
+
+
+def _render_patch(idx: int, rad: int, du: float, dv: float,
+                  env_sigma: float) -> np.ndarray:
+    """Evaluate landmark `idx`'s texture on a (2r+1)² grid centred at the
+    subpixel offset (du, dv) — analytic, so projections land at their exact
+    subpixel positions instead of being quantised to integer pixels."""
+    freq, theta, phase, amp = _patch_params(idx)
+    ys, xs = np.mgrid[-rad:rad + 1, -rad:rad + 1].astype(np.float64)
+    xs = xs - du
+    ys = ys - dv
+    tex = np.zeros_like(xs)
+    for f, th, ph, a in zip(freq, theta, phase, amp):
+        tex += a * np.cos(f * (np.cos(th) * xs + np.sin(th) * ys) + ph)
+    env = np.exp(-0.5 * (xs ** 2 + ys ** 2) / env_sigma ** 2)
+    return ((0.55 + 0.45 * tex) * env).astype(np.float32)
 
 
 def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
                  r_wb: np.ndarray, p_wb: np.ndarray,
                  r_cb: np.ndarray, p_bc: np.ndarray,
                  sigma: float = 1.5, background: float = 20.0) -> np.ndarray:
-    """Render (H, W) float image for body pose (r_wb, p_wb)."""
+    """Render (H, W) float image for body pose (r_wb, p_wb).
+
+    Each landmark is splatted as its own textured patch (`_patch_params`),
+    sized to cover the bulk of the BRIEF test pattern (taps ~ N(0, 9.6 px),
+    `ops.brief.brief_pattern`)."""
     h, w = cam.height, cam.width
     img = np.full((h, w), background, np.float32)
     # gentle background gradient so KLT has some signal everywhere
@@ -28,14 +68,15 @@ def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
     ok = z > 0.2
     import jax.numpy as jnp
     px = np.asarray(cam.project(jnp.asarray(pts_c[ok], jnp.float32)))
-    rad = int(3 * sigma)
-    ys, xs = np.mgrid[-rad:rad + 1, -rad:rad + 1]
-    kernel = np.exp(-0.5 * (xs ** 2 + ys ** 2) / sigma ** 2)
-    for (u, v), inten in zip(px, intensities[ok]):
-        ui, vi = int(round(u)), int(round(v))
-        if not (rad <= ui < w - rad and rad <= vi < h - rad):
+    env_sigma = max(float(sigma), 3.0)
+    rad = int(round(4 * env_sigma))
+    for idx, (u, v), inten in zip(np.nonzero(ok)[0], px, intensities[ok]):
+        ui, vi = int(np.floor(u)), int(np.floor(v))
+        if not (rad <= ui < w - rad - 1 and rad <= vi < h - rad - 1):
             continue
-        img[vi - rad:vi + rad + 1, ui - rad:ui + rad + 1] += inten * kernel
+        patch = _render_patch(int(idx), rad, float(u - ui), float(v - vi),
+                              env_sigma)
+        img[vi - rad:vi + rad + 1, ui - rad:ui + rad + 1] += inten * patch
     return np.clip(img, 0, 255)
 
 

@@ -37,7 +37,8 @@ def track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
                  radius: int = 10, levels: int = 3, iters: int = 10,
                  max_residual: float = 25.0,
                  min_eig: float = 1e-3,
-                 init_xy: jax.Array | None = None) -> TrackResult:
+                 init_xy: jax.Array | None = None,
+                 fb_thresh: float | None = None) -> TrackResult:
     """Track (N, 2) points from img0 to img1.
 
     Window (2*radius+1)², `levels` pyramid levels, `iters` GN iterations per
@@ -45,7 +46,30 @@ def track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
     `init_xy` (N, 2) optionally seeds the search at predicted positions (the
     VINS front-end's IMU-predicted-flow trick) — essential when inter-frame
     motion exceeds the pyramid's capture range.
+    `fb_thresh` enables a forward-backward consistency check: the tracked
+    point is re-tracked img1→img0 and must land within `fb_thresh` px of its
+    start (photometric residual alone cannot reject a lock onto the wrong
+    patch of self-similar texture).
     """
+    res = _track_points(img0, img1, xy0, valid0, radius, levels, iters,
+                        max_residual, min_eig, init_xy)
+    if fb_thresh is None:
+        return res
+    # seed the backward track at the forward start: the backward flow is as
+    # large as the forward one and equally beyond the pyramid's capture range
+    back = _track_points(img1, img0, res.xy, res.valid, radius, levels,
+                         iters, max_residual, min_eig, xy0)
+    dist = jnp.linalg.norm(back.xy - xy0, axis=-1)
+    ok = res.valid & back.valid & (dist < fb_thresh)
+    return TrackResult(res.xy, ok, res.residual)
+
+
+def _track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
+                  valid0: jax.Array | None = None,
+                  radius: int = 10, levels: int = 3, iters: int = 10,
+                  max_residual: float = 25.0,
+                  min_eig: float = 1e-3,
+                  init_xy: jax.Array | None = None) -> TrackResult:
     if valid0 is None:
         valid0 = jnp.ones(xy0.shape[0], dtype=bool)
     pyr0 = build_pyramid(img0, levels)

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..camera import PinholeCamera
 from ..geometry import g2r, matrix_to_quat, quat_to_matrix
+from ..geometry.hostmath import quat_to_matrix_np
 from ..io.msgs import KeyframePacket
 from ..ops import brief, fast, klt
 from ..utils.config import AgentConfig
@@ -36,7 +37,6 @@ __all__ = ["AgentFrontend"]
 
 class AgentFrontend:
     WINDOW = 8          # sliding-window keyframes
-    MAX_FEAT = 96       # tracked feature / landmark capacity
     MAX_IMU = 128       # IMU samples per keyframe interval (0.5 s @ 200 Hz = 100)
 
     def __init__(self, cfg: AgentConfig, client_id: int = 0):
@@ -49,7 +49,12 @@ class AgentFrontend:
         self.r_cb = np.asarray(cfg.r_cb, np.float32)
         self.p_bc = np.asarray(cfg.p_bc, np.float32)
 
-        mf = self.MAX_FEAT
+        # tracked-feature capacity = `max_cnt` (euroc_config.yaml:44);
+        # landmark slots are a separate, larger pool: features churn as they
+        # leave the FOV but their landmarks stay observable by the rest of
+        # the window, so the window can hold ~2x live landmarks
+        self.MAX_FEAT = mf = int(cfg.max_features)
+        self.MAX_LM = ml = 2 * mf
         self.feat_xy = np.zeros((mf, 2), np.float32)
         self.feat_id = np.full(mf, -1, np.int64)
         self.feat_valid = np.zeros(mf, bool)
@@ -63,11 +68,11 @@ class AgentFrontend:
         self.state = ba.WindowState(
             p=jnp.zeros((w, 3)), q=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (w, 1)),
             v=jnp.zeros((w, 3)), bg=jnp.zeros((w, 3)), ba=jnp.zeros((w, 3)),
-            lm=jnp.zeros((mf, 3)), kf_valid=jnp.zeros(w, bool),
-            lm_valid=jnp.zeros(mf, bool))
-        self.obs = np.zeros((w, mf, 2), np.float32)
-        self.vis = np.zeros((w, mf), bool)
-        self.lm_id = np.full(mf, -1, np.int64)   # landmark slot -> feature id
+            lm=jnp.zeros((ml, 3)), kf_valid=jnp.zeros(w, bool),
+            lm_valid=jnp.zeros(ml, bool))
+        self.obs = np.zeros((w, ml, 2), np.float32)
+        self.vis = np.zeros((w, ml), bool)
+        self.lm_id = np.full(ml, -1, np.int64)   # landmark slot -> feature id
         self.pre_list: list = [None] * (w - 1)   # preintegrations between KFs
         self.initialized = False
         self.vi_initialized = False   # gyro-bias + gravity/scale bootstrap done
@@ -75,28 +80,62 @@ class AgentFrontend:
 
     # ---------- feature maintenance ----------
 
-    def _predict_features(self, p_pred: np.ndarray, q_pred: np.ndarray):
-        """Predicted pixel positions of current features in the new frame:
-        landmark reprojection where depth is known, previous position
-        otherwise (the VINS predicted-flow KLT seed)."""
+    def _predict_features(self, p_pred: np.ndarray, q_pred: np.ndarray,
+                          p_prev: np.ndarray, q_prev: np.ndarray):
+        """Predicted pixel positions of current features in the new frame —
+        the VINS predicted-flow KLT seed, fully vectorized:
+
+        - landmark reprojection where the feature has a triangulated 3-D
+          point;
+        - otherwise, the feature's ray from the previous frame is carried
+          through the IMU-predicted relative pose at the median landmark
+          depth (rotation handles most of the flow; the depth prior
+          approximates the translational part). Without a seed, inter-frame
+          flow here (~35 px at 2 Hz) exceeds the pyramid's capture range on
+          band-limited texture."""
         if not self.feat_valid.any():
             return None
-        pred = self.feat_xy.copy()
+        fv = self.feat_valid
+        r_wb1 = np.asarray(quat_to_matrix(jnp.asarray(q_pred, jnp.float32)))
+        r_wb0 = np.asarray(quat_to_matrix(jnp.asarray(q_prev, jnp.float32)))
         lm = np.asarray(self.state.lm)
-        lm_ok = np.asarray(self.state.lm_valid)
-        r_wb = np.asarray(quat_to_matrix(jnp.asarray(q_pred, jnp.float32)))
-        for f in range(self.MAX_FEAT):
-            if not self.feat_valid[f]:
-                continue
-            s_ = np.nonzero(self.lm_id == self.feat_id[f])[0]
-            if len(s_) == 0 or not lm_ok[s_[0]]:
-                continue
-            pt_b = r_wb.T @ (lm[s_[0]] - p_pred)
-            pt_c = self.r_cb @ (pt_b - self.p_bc)
-            if pt_c[2] > 0.1:
-                px = np.asarray(self.cam.project(jnp.asarray(pt_c, jnp.float32)))
-                pred[f] = px
-        return pred
+        lm_ok = np.asarray(self.state.lm_valid) & (self.lm_id >= 0)
+        if not self.vi_initialized:
+            # pre-bootstrap the visual frame has no metric scale, so the
+            # IMU-integrated translation (metric) is inconsistent with it and
+            # triangulated depths are unreliable: predict rotation-only
+            # (gyro is trustworthy from frame 0 and carries ~all of the flow)
+            p_pred = p_prev
+            lm_ok = np.zeros_like(lm_ok)
+
+        # feature slot -> landmark slot (by shared feature id)
+        match = (self.feat_id[:, None] == self.lm_id[None, :]) & lm_ok[None, :]
+        has_lm = match.any(axis=1) & fv
+        lm_slot = np.argmax(match, axis=1)
+
+        # per-feature depth: its landmark's depth in the PREVIOUS camera, or
+        # the median depth of all valid landmarks (5 m fallback)
+        rays = np.ones((self.MAX_FEAT, 3), np.float32)
+        rays[:, :2] = np.asarray(self.cam.lift(jnp.asarray(self.feat_xy)))
+        pts_b0 = (lm - p_prev[None, :]) @ r_wb0          # world -> prev body
+        pts_c0 = (pts_b0 - self.p_bc[None, :]) @ self.r_cb.T
+        depths = pts_c0[:, 2]
+        good_d = lm_ok & (depths > 0.1)
+        med_d = float(np.median(depths[good_d])) if good_d.any() else 5.0
+        feat_d = np.where(has_lm, depths[lm_slot], med_d).astype(np.float32)
+        feat_d = np.maximum(feat_d, 0.3)
+
+        # 3-D point per feature: its landmark if known, else ray * depth
+        pt_c0 = rays * feat_d[:, None]
+        pt_w = (pt_c0 @ self.r_cb + self.p_bc[None, :]) @ r_wb0.T + p_prev
+        pt_w = np.where(has_lm[:, None], lm[lm_slot], pt_w)
+
+        # project into the predicted new frame
+        pt_b1 = (pt_w - p_pred[None, :]) @ r_wb1
+        pt_c1 = (pt_b1 - self.p_bc[None, :]) @ self.r_cb.T
+        px = np.asarray(self.cam.project(jnp.asarray(pt_c1, jnp.float32)))
+        ok = fv & (pt_c1[:, 2] > 0.1) & np.isfinite(px).all(axis=1)
+        return np.where(ok[:, None], px, self.feat_xy).astype(np.float32)
 
     def _track_and_detect(self, image: np.ndarray,
                           init_xy: np.ndarray | None = None):
@@ -106,7 +145,8 @@ class AgentFrontend:
             res = klt.track_points(jnp.asarray(self.prev_image, jnp.float32),
                                    img_j, jnp.asarray(self.feat_xy),
                                    jnp.asarray(self.feat_valid),
-                                   levels=4, iters=15,
+                                   levels=4, iters=15, fb_thresh=1.5,
+                                   max_residual=35.0,
                                    init_xy=(jnp.asarray(init_xy)
                                             if init_xy is not None else None))
             self.feat_xy = np.array(res.xy)      # writable host copies
@@ -236,7 +276,10 @@ class AgentFrontend:
                 kf_valid=st.kf_valid.at[slot].set(True))
 
         # track with IMU/landmark-predicted feature positions, then re-detect
-        init_xy = self._predict_features(np.asarray(p_pred), np.asarray(q_pred))
+        prev = max(slot - 1, 0)
+        init_xy = self._predict_features(np.asarray(p_pred), np.asarray(q_pred),
+                                         np.asarray(st.p[prev]),
+                                         np.asarray(st.q[prev]))
         self._track_and_detect(image, init_xy)
 
         # observations: normalized coords of tracked features, slot-aligned
@@ -262,20 +305,34 @@ class AgentFrontend:
         self.kf_count += 1
 
         # triangulate landmarks with >= 2 views that aren't active yet
+        # (batched: one vmapped DLT over every pending slot), then accept
+        # only geometrically sound points: a bare DLT happily "solves"
+        # zero-parallax rays into points thousands of meters out (or behind
+        # the cameras) with near-zero residual, and those poison both the
+        # window BA and every downstream PnP (the server's loop closure)
         counts = self.vis.sum(axis=0)
         lm_valid = np.array(self.state.lm_valid)
-        to_tri = np.nonzero((counts >= 2) & ~lm_valid & (self.lm_id >= 0))[0]
-        if len(to_tri):
+        to_tri = (counts >= 2) & ~lm_valid & (self.lm_id >= 0)
+        if to_tri.any():
+            pts, oks = jax.vmap(
+                lambda o, v: ba.triangulate(self.state.p, self.state.q, o, v,
+                                            jnp.asarray(self.r_cb),
+                                            jnp.asarray(self.p_bc)),
+                in_axes=(1, 1))(jnp.asarray(self.obs), jnp.asarray(self.vis))
+            pts = np.asarray(pts)
+            md, mr, par = ba.landmark_quality(
+                self.state.p, self.state.q, self.state.kf_valid,
+                jnp.asarray(self.obs), jnp.asarray(self.vis),
+                jnp.asarray(pts, jnp.float32),
+                jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
+            good = (to_tri & np.asarray(oks)
+                    & np.isfinite(pts).all(axis=1)
+                    & (np.asarray(md) > 0.1)
+                    & (np.asarray(mr) < 4.0 / self.cam.fx)
+                    & (np.asarray(par) > np.deg2rad(1.0)))
             lm = np.array(self.state.lm)
-            for s_ in to_tri:
-                pt, ok = ba.triangulate(
-                    self.state.p, self.state.q,
-                    jnp.asarray(self.obs[:, s_]), jnp.asarray(self.vis[:, s_]),
-                    jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
-                d_ok = bool(ok) and np.isfinite(np.asarray(pt)).all()
-                if d_ok:
-                    lm[s_] = np.asarray(pt)
-                    lm_valid[s_] = True
+            lm[good] = pts[good]
+            lm_valid |= good
             self.state = self.state._replace(
                 lm=jnp.asarray(lm), lm_valid=jnp.asarray(lm_valid))
 
@@ -289,7 +346,11 @@ class AgentFrontend:
             if not self.vi_initialized and self.n_in_window >= min(5, w):
                 self._try_vi_bootstrap()
 
-        return self._emit_packet(timestamp, image) if self.initialized else None
+        # packets only after visual-inertial initialization: pre-bootstrap
+        # window points are non-metric and would feed the server garbage
+        # (VINS-Mono agents likewise publish only once initialized)
+        ready = self.initialized and self.vi_initialized
+        return self._emit_packet(timestamp, image) if ready else None
 
     def _try_vi_bootstrap(self):
         """Gyro-bias calibration + gravity/velocity/scale alignment over the
@@ -378,25 +439,48 @@ class AgentFrontend:
             counts = self.vis.sum(axis=0)
             self.state = self.state._replace(
                 lm_valid=self.state.lm_valid & jnp.asarray(counts >= 2))
+        # geometric sanity after the solve: BA can push weakly-constrained
+        # landmarks behind cameras or to unobservable depths — drop them from
+        # the valid set (they re-triangulate on a later frame once the
+        # baseline grows)
+        md, _, par = ba.landmark_quality(
+            self.state.p, self.state.q, self.state.kf_valid,
+            jnp.asarray(self.obs), jnp.asarray(self.vis), self.state.lm,
+            jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
+        sane = (np.asarray(md) > 0.05) & (np.asarray(par) > np.deg2rad(0.5))
+        self.state = self.state._replace(
+            lm_valid=self.state.lm_valid & jnp.asarray(sane))
 
     def _emit_packet(self, timestamp: float, image: np.ndarray) -> KeyframePacket:
         slot = self.n_in_window - 1
         st = self.state
         p = np.asarray(st.p[slot])
         q = np.asarray(st.q[slot])
-        # window landmarks observed in this keyframe
+        # window landmarks observed in this keyframe, gated on current-frame
+        # geometry: positive sane depth and small self-reprojection residual
+        # (the packet's 3-D points feed the server's PnP — one garbage point
+        # in the minimal sample wrecks every hypothesis it touches)
         vis_now = self.vis[slot] & np.asarray(st.lm_valid)
+        feat_lookup = {self.feat_id[f]: f for f in range(self.MAX_FEAT)
+                       if self.feat_valid[f]}
+        lm_all = np.asarray(st.lm)
+        r_wb_np = quat_to_matrix_np(q)
+        pts_c_all = ((lm_all - p) @ r_wb_np - self.p_bc) @ self.r_cb.T
+        z_all = pts_c_all[:, 2]
+        proj = pts_c_all[:, :2] / np.maximum(z_all[:, None], 1e-6)
+        self_res = np.linalg.norm(proj - self.obs[slot], axis=1)
+        has_px = np.array([i in feat_lookup for i in self.lm_id])
+        vis_now &= ((z_all > 0.2) & (z_all < 200.0)
+                    & (self_res < 4.0 / self.cam.fx) & has_px)
         idxs = np.nonzero(vis_now)[0]
-        pts3d = np.asarray(st.lm)[idxs]
+        pts3d = lm_all[idxs]
         uv = self.obs[slot][idxs]
         ids = self.lm_id[idxs]
         # descriptors at current pixel positions of those features
         img_j = jnp.asarray(image, jnp.float32)
         blurred = brief.gaussian_blur(img_j, 2.0, radius=4)
-        feat_lookup = {self.feat_id[f]: f for f in range(self.MAX_FEAT)
-                       if self.feat_valid[f]}
-        px = np.array([self.feat_xy[feat_lookup[i]] if i in feat_lookup
-                       else [0.0, 0.0] for i in ids], np.float32).reshape(-1, 2)
+        px = np.array([self.feat_xy[feat_lookup[i]] for i in ids],
+                      np.float32).reshape(-1, 2)
         desc = np.asarray(brief.compute_brief(blurred, jnp.asarray(px),
                                               pre_blurred=True)) \
             if len(px) else np.zeros((0, 8), np.uint32)

@@ -357,6 +357,45 @@ def triangulate(p_w: jax.Array, q_w: jax.Array, obs: jax.Array, vis: jax.Array,
     return pt, ok
 
 
+def landmark_quality(p_w: jax.Array, q_w: jax.Array, kf_valid: jax.Array,
+                     obs: jax.Array, vis: jax.Array, lm: jax.Array,
+                     r_cb: jax.Array, p_bc: jax.Array):
+    """Per-landmark geometric quality over the window (batched).
+
+    p_w (K,3), q_w (K,4), kf_valid (K,), obs (K,L,2), vis (K,L), lm (L,3).
+    Returns (min_depth (L,), max_res (L,), parallax (L,)):
+      min_depth — smallest z over observing cameras (+inf if none): the
+        cheirality gate a bare DLT lacks;
+      max_res   — worst reprojection residual (normalized coords) over
+        observing views;
+      parallax  — largest angle (rad) between the rays from any two observing
+        cameras to the point: near-zero means the depth is unobservable (the
+        class of landmark that "triangulates" to +-1000s of meters with tiny
+        residual and then poisons PnP with garbage 3-D).
+    """
+    r_wb = quat_to_matrix(q_w)                              # (K,3,3)
+    diff = lm[None, :, :] - p_w[:, None, :]                 # (K,L,3)
+    pts_b = jnp.einsum("kji,klj->kli", r_wb, diff)
+    pts_c = jnp.einsum("ij,klj->kli", r_cb, pts_b - p_bc[None, None, :])
+    z = pts_c[..., 2]
+    see = vis & kf_valid[:, None]
+    min_depth = jnp.min(jnp.where(see, z, jnp.inf), axis=0)
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    proj = pts_c[..., :2] / safe_z[..., None]
+    res = jnp.linalg.norm(proj - jnp.nan_to_num(obs), axis=-1)
+    max_res = jnp.max(jnp.where(see, res, 0.0), axis=0)
+    # rays world-frame from camera centers to the landmark
+    centers = p_w + jnp.einsum("kij,j->ki", r_wb, p_bc)     # (K,3)
+    rays = lm[None, :, :] - centers[:, None, :]             # (K,L,3)
+    rays = rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True),
+                              1e-9)
+    cosang = jnp.einsum("kli,mli->kml", rays, rays)         # (K,K,L)
+    pair_ok = see[:, None, :] & see[None, :, :]
+    parallax = jnp.arccos(jnp.clip(
+        jnp.min(jnp.where(pair_ok, cosang, 1.0), axis=(0, 1)), -1.0, 1.0))
+    return min_depth, max_res, parallax
+
+
 def marginalize_prior(state: WindowState, meas: WindowMeasurements,
                       marg_mask_flat: jax.Array,
                       anchor_weight: float = 1e3,

@@ -10,11 +10,15 @@ handed to a jitted kernel as whole arrays with static shapes.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from ..io.msgs import KeyframePacket
 
 __all__ = ["KeyframeStore"]
+
+log = logging.getLogger(__name__)
 
 
 class KeyframeStore:
@@ -52,9 +56,24 @@ class KeyframeStore:
     def valid(self) -> np.ndarray:
         return np.arange(self.capacity) < self.count
 
+    def _grow(self) -> None:
+        """Double every array (power-of-two capacity tiers): kernels that
+        consume whole-store arrays re-jit once per tier, so a 5k-keyframe run
+        costs ~2 recompiles, not a hard failure (the reference's graph is
+        unbounded, `server_pose_graph.cpp:344`)."""
+        new_cap = self.capacity * 2
+        log.info("KeyframeStore grow %d -> %d", self.capacity, new_cap)
+        for name, arr in list(vars(self).items()):
+            if isinstance(arr, np.ndarray) and arr.shape[:1] == (self.capacity,):
+                pad = np.zeros((self.capacity,) + arr.shape[1:], arr.dtype)
+                if arr.dtype in (np.int32, np.int64):
+                    pad -= 1  # index-like fields use -1 = empty
+                setattr(self, name, np.concatenate([arr, pad]))
+        self.capacity = new_cap
+
     def add(self, pkt: KeyframePacket, local_index: int) -> int:
         if self.count >= self.capacity:
-            raise RuntimeError("KeyframeStore capacity exhausted")
+            self._grow()
         i = self.count
         self.client[i] = pkt.client_id
         self.local_index[i] = local_index

@@ -35,6 +35,15 @@ from ..geometry import (
     rot_z,
     wrap_angle,
 )
+from ..geometry.hostmath import (
+    matrix_to_quat_np,
+    quat_to_matrix_np,
+    r_to_ypr_np,
+    rot_z_np,
+    wrap_angle_np,
+    yaw_of_quat_np,
+    ypr_to_r_np,
+)
 from ..io.msgs import KeyframePacket
 from ..ops import hamming, ransac
 from . import optimizer as opt
@@ -56,6 +65,12 @@ class ServerConfig:
     # loop gates (reference values)
     bow_thresh_inter: float = 0.003   # `server_pose_graph.cpp:996`
     bow_thresh_intra: float = 0.005
+    # candidates must also score within this fraction of the best qualifying
+    # candidate. The reference's absolute thresholds presume its fixed
+    # million-word vocabulary; with trained (smaller) vocabularies the noise
+    # floor moves, and this relative gate keeps "oldest candidate" from
+    # picking a barely-above-threshold frame over a decisively better one.
+    bow_rel_gate: float = 0.5
     exclude_recent: int = 10
     min_gap: int = 10                 # frame-index gap before a loop counts
     min_loop_matches: int = 15        # MIN_LOOP_NUM (`server_keyframe.h:24`)
@@ -100,25 +115,35 @@ class _ClientState:
 
 
 def _yaw_of_quat_np(q):
-    m = np.asarray(quat_to_matrix(jnp.asarray(q, jnp.float32)))
-    return float(np.arctan2(m[1, 0], m[0, 0]))
+    return float(yaw_of_quat_np(q))
 
 
 @jax.jit
-def _match_and_pnp(win_desc, win_valid, win_pts_camj, ext_desc, ext_valid,
-                   ext_uv, key, pnp_thresh, min_inliers):
-    """Loop verification kernel: descriptor match + PnP in one jit.
+def _match_and_pnp(win_desc, win_valid, win_uv, win_pts_camj, ext_desc,
+                   ext_valid, ext_uv, key, pnp_thresh, min_inliers):
+    """Loop verification kernel: the reference's full FindConnection cascade
+    (`server_keyframe.cpp:501-718`) in one jit —
 
-    win_*: the NEW keyframe's window features with 3-D points expressed in its
-    own camera frame; ext_*: the OLD keyframe's full-image 2-D features. The
-    recovered pose is T_cam_old <- cam_new.
+      1. descriptor match with best<80 + 0.7-ratio gates (SearchByBRIEFDes /
+         SearchInArea, `server_keyframe.cpp:294-378`);
+      2. fundamental-matrix RANSAC on the matched normalized 2-D pairs
+         (`server_keyframe.cpp:539`, applied only when >= 8 matches survive,
+         mirroring the reference's 8-point activation gate `:399-403`);
+      3. PnP-RANSAC on the epipolar-consistent survivors (`:565-582`).
+
+    win_*: the NEW keyframe's window features — normalized 2-D (`win_uv`) and
+    3-D points expressed in its own camera frame; ext_*: the OLD keyframe's
+    full-image 2-D features. The recovered pose is T_cam_old <- cam_new.
     """
     m = hamming.match_descriptors(win_desc, ext_desc, win_valid, ext_valid)
     obs = ext_uv[m.indices]
-    res = ransac.pnp_ransac(win_pts_camj, obs, m.valid, key,
+    key_f, key_p = jax.random.split(key)
+    fres = ransac.fundamental_ransac(win_uv, obs, m.valid, key_f)
+    keep = jnp.where(jnp.sum(m.valid) >= 8, m.valid & fres.inliers, m.valid)
+    res = ransac.pnp_ransac(win_pts_camj, obs, keep, key_p,
                             inlier_thresh=pnp_thresh,
                             min_inliers=min_inliers)
-    return res, m
+    return res, m, keep
 
 
 class CollaborativePoseGraph:
@@ -143,6 +168,7 @@ class CollaborativePoseGraph:
         self._since_optimize = 0
         self._rng_key = jax.random.PRNGKey(0)
         self.last_loop: dict | None = None
+        self._chain_cache: dict = {}
 
     # ---------- client / submap management ----------
 
@@ -162,18 +188,22 @@ class CollaborativePoseGraph:
             c.aligned = True
 
     def _local_to_world(self, cid: int, p: np.ndarray, q: np.ndarray):
-        """Apply submap transform then drift (both yaw-only + translation)."""
+        """Apply submap transform then drift (both yaw-only + translation).
+
+        Batched: p (..., 3), q (..., 4) -> (p_w, yaw_w, pitch_roll_w)."""
         c = self.clients[cid]
-        rz = np.asarray(rot_z(jnp.asarray(c.yaw_wl, jnp.float32)))
-        p_w = rz @ np.asarray(p, np.float32) + c.t_wl
-        yaw_l = _yaw_of_quat_np(q)
-        ypr = np.asarray(r_to_ypr(jnp.asarray(quat_to_matrix(jnp.asarray(q, jnp.float32)))))
-        yaw_w = yaw_l + c.yaw_wl
+        p = np.asarray(p, np.float64)
+        p_w = p @ rot_z_np(c.yaw_wl).T + c.t_wl
+        ypr = r_to_ypr_np(quat_to_matrix_np(q))
+        yaw_w = ypr[..., 0] + c.yaw_wl
         # drift
-        rzd = np.asarray(rot_z(jnp.asarray(c.yaw_drift, jnp.float32)))
-        p_w = rzd @ p_w + c.t_drift
+        p_w = p_w @ rot_z_np(c.yaw_drift).T + c.t_drift
         yaw_w = yaw_w + c.yaw_drift
-        return p_w.astype(np.float32), float(yaw_w), np.asarray(ypr[1:], np.float32)
+        if p.ndim == 1:
+            return (p_w.astype(np.float32), float(yaw_w),
+                    ypr[1:].astype(np.float32))
+        return (p_w.astype(np.float32), yaw_w.astype(np.float32),
+                ypr[..., 1:].astype(np.float32))
 
     # ---------- ingestion ----------
 
@@ -237,8 +267,7 @@ class CollaborativePoseGraph:
         if not other.any():
             return None
         d = np.linalg.norm(st.world_p[:n] - st.world_p[idx], axis=1)
-        dyaw = np.abs(np.asarray(wrap_angle(jnp.asarray(
-            st.world_yaw[:n] - st.world_yaw[idx]))))
+        dyaw = np.abs(wrap_angle_np(st.world_yaw[:n] - st.world_yaw[idx]))
         ok = other & (d < cfg.covis_max_dist) & (dyaw < cfg.covis_max_yaw)
         if not ok.any():
             return None
@@ -249,7 +278,7 @@ class CollaborativePoseGraph:
         """Reference gates: score threshold (inter vs intra), min frame gap,
         oldest qualifying candidate (`server_pose_graph.cpp:971-1062`)."""
         cfg = self.cfg
-        best = None
+        qualifying = []
         for k, s in zip(cand_idx, cand_score):
             if s <= 0:
                 continue
@@ -261,9 +290,11 @@ class CollaborativePoseGraph:
             if ocid == cid and abs(int(self.store.local_index[idx])
                                    - int(self.store.local_index[k])) < cfg.min_gap:
                 continue
-            if best is None or k < best:
-                best = k
-        return best
+            qualifying.append((k, float(s)))
+        if not qualifying:
+            return None
+        top = max(s for _, s in qualifying)
+        return min(k for k, s in qualifying if s >= cfg.bow_rel_gate * top)
 
     def _find_connection(self, j: int, i: int):
         """Verify candidate loop (new j, old i). Returns dict with the
@@ -280,13 +311,14 @@ class CollaborativePoseGraph:
         pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
 
         self._rng_key, key = jax.random.split(self._rng_key)
-        res, m = _match_and_pnp(
+        res, m, _ = _match_and_pnp(
             jnp.asarray(st.win_desc[j]), jnp.asarray(st.win_valid[j]),
-            jnp.asarray(pts_cam, jnp.float32),
+            jnp.asarray(st.win_uv[j]), jnp.asarray(pts_cam, jnp.float32),
             jnp.asarray(st.ext_desc[i]), jnp.asarray(st.ext_valid[i]),
             jnp.asarray(st.ext_uv[i]), key,
             cfg.pnp_thresh, cfg.min_loop_matches)
         if not bool(res.ok):
+            self._fc_fail = ("pnp", int(res.num_inliers))
             return None
         # T_ci<-cj (camera frames) -> T_bi<-bj (body frames)
         t_cicj = Pose(matrix_to_quat(res.r), res.t)
@@ -298,21 +330,21 @@ class CollaborativePoseGraph:
         # with world pitch/roll (reference: yaw difference of world poses)
         r_bibj = np.asarray(quat_to_matrix(t_bibj.q))
         # estimated world rotation of i = R_w_bj * R_bibj^T
-        ypr_j = np.array([st.world_yaw[j], st.world_pr[j, 0], st.world_pr[j, 1]])
-        from ..geometry import ypr_to_r as _ypr2r
-        r_w_bj = np.asarray(_ypr2r(jnp.asarray(ypr_j, jnp.float32)))
+        r_w_bj = ypr_to_r_np([st.world_yaw[j], st.world_pr[j, 0],
+                              st.world_pr[j, 1]])
         r_w_bi_est = r_w_bj @ r_bibj.T
         yaw_i_est = float(np.arctan2(r_w_bi_est[1, 0], r_w_bi_est[0, 0]))
-        rel_yaw = wrap_angle(jnp.asarray(st.world_yaw[j] - yaw_i_est))
-        rel_yaw = float(rel_yaw)
+        rel_yaw = float(wrap_angle_np(st.world_yaw[j] - yaw_i_est))
         # acceptance gates (`server_keyframe.cpp:692-715`) — only meaningful
         # when both submaps live in the same world frame; in align mode the
         # reference relaxes them (FindConnection's bAlign path)
         both_aligned = (self.clients[int(st.client[j])].aligned
                         and self.clients[int(st.client[i])].aligned)
         if both_aligned and abs(np.rad2deg(rel_yaw)) > cfg.max_loop_yaw_deg:
+            self._fc_fail = ("yaw_gate", float(np.rad2deg(rel_yaw)))
             return None
         if np.linalg.norm(t_ij) > cfg.max_loop_t:
+            self._fc_fail = ("t_gate", float(np.linalg.norm(t_ij)))
             return None
         self.last_loop = {"i": i, "j": j, "inliers": int(res.num_inliers)}
         return {"t_ij": t_ij.astype(np.float32), "yaw_ij": rel_yaw,
@@ -355,30 +387,36 @@ class CollaborativePoseGraph:
         c.yaw_drift = 0.0
         c.t_drift = np.zeros(3, np.float32)
         c.aligned = True
-        # rewrite world poses of every KF of this client
+        # rewrite world poses of every KF of this client (batched)
         sel = (st.client == cid_unaligned) & st.valid
         idxs = np.nonzero(sel)[0]
-        for k in idxs:
-            p_w, yaw_w2, pr_w = self._local_to_world(cid_unaligned, st.vio_p[k],
-                                                     st.vio_q[k])
-            st.world_p[k] = p_w
-            st.world_yaw[k] = yaw_w2
-            st.world_pr[k] = pr_w
+        if len(idxs):
+            p_w, yaw_w2, pr_w = self._local_to_world(
+                cid_unaligned, st.vio_p[idxs], st.vio_q[idxs])
+            st.world_p[idxs] = p_w
+            st.world_yaw[idxs] = yaw_w2
+            st.world_pr[idxs] = pr_w
+
+    def _grow_loops(self) -> None:
+        """Double the loop-edge arrays (no silent drops past the initial
+        capacity; tiered growth like `KeyframeStore._grow`)."""
+        for name in ("loop_i", "loop_j", "loop_t", "loop_yaw", "loop_inter",
+                     "loop_valid", "loop_pcm_ok"):
+            arr = getattr(self, name)
+            setattr(self, name, np.concatenate([arr, np.zeros_like(arr)]))
 
     def _record_loop(self, i, j, edge, inter):
-        if self.loop_count >= self.cfg.max_loops:
-            return
+        if self.loop_count >= len(self.loop_i):
+            self._grow_loops()
         st = self.store
         # recompute the yaw measurement from the *current* world state (it may
         # have just changed in _align_submap) so edge and nodes agree
-        from ..geometry import ypr_to_r as _ypr2r
-        r_bibj = np.asarray(quat_to_matrix(jnp.asarray(edge["q_bibj"], jnp.float32)))
-        ypr_j = jnp.asarray([st.world_yaw[j], st.world_pr[j, 0], st.world_pr[j, 1]],
-                            jnp.float32)
-        r_w_bj = np.asarray(_ypr2r(ypr_j))
+        r_bibj = quat_to_matrix_np(edge["q_bibj"])
+        r_w_bj = ypr_to_r_np([st.world_yaw[j], st.world_pr[j, 0],
+                              st.world_pr[j, 1]])
         r_w_bi_est = r_w_bj @ r_bibj.T
         yaw_i_est = float(np.arctan2(r_w_bi_est[1, 0], r_w_bi_est[0, 0]))
-        yaw_ij = float(wrap_angle(jnp.asarray(st.world_yaw[j] - yaw_i_est)))
+        yaw_ij = float(wrap_angle_np(st.world_yaw[j] - yaw_i_est))
         k = self.loop_count
         self.loop_i[k] = i
         self.loop_j[k] = j
@@ -412,12 +450,10 @@ class CollaborativePoseGraph:
             edge_T = pcm_mod.FourDof(
                 jnp.asarray(self.loop_yaw[es]),
                 jnp.asarray(self.loop_t[es]))
-            yaw_i = jnp.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in li[es]],
-                                jnp.float32)
-            yaw_j = jnp.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in lj[es]],
-                                jnp.float32)
-            pose_i = pcm_mod.FourDof(yaw_i, jnp.asarray(st.vio_p[li[es]]))
-            pose_j = pcm_mod.FourDof(yaw_j, jnp.asarray(st.vio_p[lj[es]]))
+            yaw_i = yaw_of_quat_np(st.vio_q[li[es]]).astype(np.float32)
+            yaw_j = yaw_of_quat_np(st.vio_q[lj[es]]).astype(np.float32)
+            pose_i = pcm_mod.FourDof(jnp.asarray(yaw_i), jnp.asarray(st.vio_p[li[es]]))
+            pose_j = pcm_mod.FourDof(jnp.asarray(yaw_j), jnp.asarray(st.vio_p[lj[es]]))
             chain = None
             if cfg.pcm_chain_cov:
                 # full per-client odometry chains ordered by local index,
@@ -437,14 +473,23 @@ class CollaborativePoseGraph:
             self.loop_pcm_ok[es] = keep
 
     def _client_chain(self, cid: int) -> pcm_mod.FourDof:
-        """One client's full odometry chain (local frame), local-index order."""
+        """One client's full odometry chain (local frame), local-index order.
+
+        Cached per (client, keyframe-count): VIO poses of stored keyframes are
+        immutable, so the chain only changes by appending — rebuilding it per
+        PCM run is pure waste at EuRoC scale."""
         st = self.store
         n = st.count
+        key = (cid, n)
+        hit = self._chain_cache.get(cid)
+        if hit is not None and hit[0] == key:
+            return hit[1]
         sel = np.nonzero(st.client[:n] == cid)[0]
         order = sel[np.argsort(st.local_index[sel])]
-        yaws = np.asarray([_yaw_of_quat_np(st.vio_q[k]) for k in order],
-                          np.float32)
-        return pcm_mod.FourDof(jnp.asarray(yaws), jnp.asarray(st.vio_p[order]))
+        yaws = yaw_of_quat_np(st.vio_q[order]).astype(np.float32)
+        chain = pcm_mod.FourDof(jnp.asarray(yaws), jnp.asarray(st.vio_p[order]))
+        self._chain_cache[cid] = (key, chain)
+        return chain
 
     def optimize(self):
         """4-DoF solve over aligned keyframes + drift propagation
@@ -464,10 +509,10 @@ class CollaborativePoseGraph:
         if len(first_world):
             fixed[first_world[0]] = True
 
-        # node init: current world estimates; measurements from VIO
-        vio_yaw = np.array([_yaw_of_quat_np(q) for q in st.vio_q[:n]], np.float32)
-        vio_pr = np.stack([np.asarray(r_to_ypr(jnp.asarray(
-            quat_to_matrix(jnp.asarray(q, jnp.float32)))))[1:] for q in st.vio_q[:n]])
+        # node init: current world estimates; measurements from VIO (batched)
+        vio_ypr = r_to_ypr_np(quat_to_matrix_np(st.vio_q[:n]))
+        vio_yaw = vio_ypr[:, 0].astype(np.float32)
+        vio_pr = vio_ypr[:, 1:].astype(np.float32)
         pad = st.capacity - n
         nodes = opt.PoseGraphNodes(
             yaw=jnp.asarray(np.concatenate([st.world_yaw[:n], np.zeros(pad)]), jnp.float32),
@@ -518,12 +563,10 @@ class CollaborativePoseGraph:
                 continue
             k = int(sel[-1])
             # submap-transformed VIO pose (no drift)
-            rz = np.asarray(rot_z(jnp.asarray(c.yaw_wl, jnp.float32)))
-            p_sv = rz @ st.vio_p[k] + c.t_wl
+            p_sv = rot_z_np(c.yaw_wl) @ st.vio_p[k] + c.t_wl
             yaw_sv = vio_yaw[k] + c.yaw_wl
-            yaw_d = float(wrap_angle(jnp.asarray(st.world_yaw[k] - yaw_sv)))
-            rzd = np.asarray(rot_z(jnp.asarray(yaw_d, jnp.float32)))
-            t_d = st.world_p[k] - rzd @ p_sv
+            yaw_d = float(wrap_angle_np(st.world_yaw[k] - yaw_sv))
+            t_d = st.world_p[k] - rot_z_np(yaw_d) @ p_sv
             c.yaw_drift = yaw_d
             c.t_drift = t_d.astype(np.float32)
 
@@ -535,11 +578,10 @@ class CollaborativePoseGraph:
         st = self.store
         n = st.count
         sel = np.nonzero((st.client[:n] == cid))[0]
-        rows = []
-        from ..geometry import ypr_to_r as _ypr2r
-        for k in sel:
-            ypr = jnp.asarray([st.world_yaw[k], st.world_pr[k, 0], st.world_pr[k, 1]],
-                              jnp.float32)
-            q = np.asarray(matrix_to_quat(_ypr2r(ypr)))
-            rows.append([st.timestamp[k], *st.world_p[k], *q])
-        return np.asarray(rows)
+        if len(sel) == 0:
+            return np.zeros((0, 8))
+        ypr = np.stack([st.world_yaw[sel], st.world_pr[sel, 0],
+                        st.world_pr[sel, 1]], axis=-1)
+        q = matrix_to_quat_np(ypr_to_r_np(ypr))
+        return np.concatenate([st.timestamp[sel, None], st.world_p[sel], q],
+                              axis=1)

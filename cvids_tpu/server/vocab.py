@@ -158,6 +158,12 @@ class BowDatabase:
         self.count = 0
 
     def add(self, vec: np.ndarray, client_id: int) -> int:
+        if self.count >= len(self.client):
+            # power-of-two growth, mirroring KeyframeStore._grow
+            self.vectors = np.concatenate([self.vectors,
+                                           np.zeros_like(self.vectors)])
+            self.client = np.concatenate([self.client,
+                                          np.full_like(self.client, -1)])
         idx = self.count
         self.vectors[idx] = vec
         self.client[idx] = client_id

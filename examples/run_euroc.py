@@ -76,8 +76,13 @@ def main(argv=None):
     descs = np.concatenate([p.ext_desc[p.ext_valid]
                             for pkts in all_packets for p in pkts[:40]])
     voc = vocab.train_vocabulary(descs[:5000], k=10, levels=3, seed=0)
+    # the reference's PnP threshold is 10 px at EuRoC's ~460 focal
+    # (`server_keyframe.cpp:418-497`); keep the same *pixel* tolerance on
+    # whatever camera the agents actually carry
+    fx = float(cfgs[0].camera.fx)
     server = posegraph.CollaborativePoseGraph(
-        voc, posegraph.ServerConfig(kf_capacity=2048))
+        voc, posegraph.ServerConfig(kf_capacity=2048,
+                                    pnp_thresh=10.0 / fx))
     # interleave by timestamp
     merged = sorted([p for pkts in all_packets for p in pkts],
                     key=lambda p: p.timestamp)

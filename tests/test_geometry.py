@@ -159,3 +159,40 @@ def test_jit_and_vmap_compat(rng):
     np.testing.assert_allclose(f(q), so3_log(quat_multiply(q, q)), atol=1e-6)
     g = jax.vmap(quat_to_matrix)
     assert g(q).shape == (4, 3, 3)
+
+
+def test_hostmath_twins_match_jnp(rng):
+    """NumPy host-side twins must agree with the jnp geometry exactly."""
+    import jax.numpy as jnp
+
+    from cvids_tpu import geometry as g
+    from cvids_tpu.geometry import hostmath as hm
+
+    q = rng.normal(size=(32, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    qj = jnp.asarray(q, jnp.float32)
+    np.testing.assert_allclose(hm.quat_to_matrix_np(q),
+                               np.asarray(g.quat_to_matrix(qj)), atol=1e-5)
+    np.testing.assert_allclose(hm.yaw_of_quat_np(q),
+                               np.asarray(g.yaw_of(qj)), atol=1e-5)
+    m = hm.quat_to_matrix_np(q)
+    np.testing.assert_allclose(hm.r_to_ypr_np(m),
+                               np.asarray(g.r_to_ypr(jnp.asarray(m, jnp.float32))),
+                               atol=1e-5)
+    ypr = rng.uniform(-1.4, 1.4, size=(32, 3))
+    np.testing.assert_allclose(hm.ypr_to_r_np(ypr),
+                               np.asarray(g.ypr_to_r(jnp.asarray(ypr, jnp.float32))),
+                               atol=1e-5)
+    yaw = rng.uniform(-4, 4, size=32)
+    np.testing.assert_allclose(hm.rot_z_np(yaw),
+                               np.asarray(g.rot_z(jnp.asarray(yaw, jnp.float32))),
+                               atol=1e-5)
+    a = rng.uniform(-12, 12, size=128)
+    np.testing.assert_allclose(hm.wrap_angle_np(a),
+                               np.asarray(g.wrap_angle(jnp.asarray(a))),
+                               atol=1e-5)
+    # matrix_to_quat up to sign
+    qr = hm.matrix_to_quat_np(m)
+    qr_j = np.asarray(g.matrix_to_quat(jnp.asarray(m, jnp.float32)))
+    sign = np.where(np.sum(qr * qr_j, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    np.testing.assert_allclose(qr, qr_j * sign, atol=1e-5)

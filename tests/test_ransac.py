@@ -70,3 +70,49 @@ def test_fundamental_ransac_epipolar(rng):
     inl = np.asarray(res.inliers)
     assert inl[10:].mean() > 0.85
     assert inl[:10].mean() < 0.3
+
+
+def test_find_connection_cascade_rejects_planted_outliers(rng):
+    """The full match->F-RANSAC->PnP cascade (`_match_and_pnp`) must reject
+    planted wrong matches that pass the descriptor gates (they are exact
+    descriptor duplicates of other features, so Hamming matching cannot see
+    them) but violate the epipolar constraint — the role of the reference's
+    FundmantalMatrixRANSAC stage (`server_keyframe.cpp:539`)."""
+    from cvids_tpu.server.posegraph import _match_and_pnp
+
+    n = 60
+    # camera j (new): identity; camera i (old): rotated + translated
+    r = np.asarray(quat_to_matrix(so3_exp(jnp.asarray([0.04, -0.08, 0.06],
+                                                      dtype=jnp.float32))))
+    t = np.array([0.5, 0.15, 0.1], np.float32)
+    pts_cj = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    pts_cj[:, 2] += 6.0
+    win_uv = (pts_cj[:, :2] / pts_cj[:, 2:3]).astype(np.float32)
+    pc_i = pts_cj @ r.T + t
+    ext_uv = (pc_i[:, :2] / pc_i[:, 2:3]).astype(np.float32)
+    ext_uv += rng.normal(size=ext_uv.shape).astype(np.float32) * 0.3 / 460
+
+    # unique descriptors; pair k of window matches ext feature k
+    desc = rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+    win_desc = desc.copy()
+    ext_desc = desc.copy()
+    # plant 18 wrong matches: window features 0..17 get the descriptors of
+    # ext features 40..57, so they match confidently at the wrong location
+    bad = np.arange(18)
+    win_desc[bad] = desc[40 + bad]
+
+    res, m, keep = _match_and_pnp(
+        jnp.asarray(win_desc), jnp.ones(n, bool), jnp.asarray(win_uv),
+        jnp.asarray(pts_cj), jnp.asarray(ext_desc), jnp.ones(n, bool),
+        jnp.asarray(ext_uv), jax.random.PRNGKey(7), 10.0 / 460.0, 15)
+    m_valid = np.asarray(m.valid)
+    keep_np = np.asarray(keep)
+    # descriptor stage alone accepted the planted matches...
+    assert m_valid[bad].mean() > 0.9
+    # ...the F stage rejects them while keeping the honest ones
+    assert keep_np[bad].mean() < 0.2
+    assert keep_np[18:].mean() > 0.8
+    # and PnP still succeeds with an accurate pose on the survivors
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.r), r, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=5e-2)

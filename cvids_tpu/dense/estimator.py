@@ -45,6 +45,9 @@ class DenseConfig:
     sparse_ratio: float = 15.0
     tau2_scale: float = 0.05   # measurement variance per (inv-depth step)²
     min_frames: int = 2
+    # per-pixel SGM penalty modulation from the reference image's texture
+    # (`StereoMapper::InitReference`, `sgm_stereo_mapper.cpp:55-123`)
+    use_penalty_map: bool = True
     # cost-volume storage/compute dtype. bfloat16 halves the HBM traffic of
     # the (H, W, D) volumes (the pipeline is bandwidth-bound); WTA depth
     # indices differ from fp32 by <0.01 bins (see test_dense bf16 check).
@@ -68,6 +71,7 @@ class DenseState(NamedTuple):
     mean_cost: jax.Array    # (H, W, D) running-mean AD cost
     count: jax.Array        # (H, W, D) measurement counts
     sparse_bias: jax.Array  # (H, W, D) additive cost bias from sparse depths
+    penalty: jax.Array      # (H, W) per-pixel SGM penalty modulation
     filt: depth_filter.FilterState
     num_frames: jax.Array   # () int32
 
@@ -85,14 +89,35 @@ def init_reference(cfg: DenseConfig, ref_img: jax.Array,
     if sparse_uv is not None:
         bias = splat_sparse(cfg, sparse_uv, sparse_inv_depth,
                             sparse_valid).astype(dt)
+    grad = image_gradients(ref_img)
+    penalty = (penalty_map(grad) if cfg.use_penalty_map
+               else jnp.ones((h, w), jnp.float32))
     return DenseState(
         ref_img=ref_img,
-        grad=image_gradients(ref_img),
+        grad=grad,
         mean_cost=jnp.zeros((h, w, d), dt),
         count=jnp.zeros((h, w, d), dt),
         sparse_bias=bias,
+        penalty=penalty,
         filt=depth_filter.init_state(h, w),
         num_frames=jnp.asarray(0, jnp.int32))
+
+
+def penalty_map(grad: jax.Array) -> jax.Array:
+    """Per-pixel SGM penalty modulation from reference-image texture.
+
+    The reference computes `0.8 + 1.5 * mean(|grad|)^3 / (1 + |grad|^3)`
+    (`StereoMapper::InitReference`, `sgm_stereo_mapper.cpp:75-82`), which is
+    unbounded where |grad| ~ 0 (flat pixels get penalties of ~mean^3, 1e5+
+    with its 5th-order Sobel) — harmless for its fp32 GPU volume but fatal
+    for a bf16 cost volume, where a 1e5x penalty erases all photometric
+    distinctions. We keep the same law in scale-free form,
+    `0.8 + 1.5 / (1 + (|grad|/mean)^3)`, bounded to (0.8, 2.3]: uniform
+    regions get ~2.3x stronger smoothing, textured regions approach 0.8x, so
+    SGM trusts photometric cost exactly where the image can support it."""
+    g = jnp.abs(grad.astype(jnp.float32))
+    rel = g / jnp.maximum(jnp.mean(g), 1e-6)
+    return (0.8 + 1.5 / (1.0 + rel ** 3)).astype(jnp.float32)
 
 
 def splat_sparse(cfg: DenseConfig, uv: jax.Array, inv_depth: jax.Array,
@@ -155,7 +180,8 @@ def fuse_measurement(cfg: DenseConfig, state: DenseState, meas_img: jax.Array,
                                     inv_depths,
                                     valid_count=jnp.sum(observed, -1),
                                     min_count=cfg.num_depths * 0.25,
-                                    pi1=cfg.pi1, pi2=cfg.pi2, tau_so=cfg.tau_so)
+                                    pi1=cfg.pi1, pi2=cfg.pi2, tau_so=cfg.tau_so,
+                                    penalty_scale=state.penalty)
     tau2 = jnp.full_like(inv_depth, (cfg.dep_sample ** 2) / cfg.tau2_scale)
     filt = depth_filter.update(state.filt, inv_depth, tau2, conf)
     return state._replace(mean_cost=mean_cost, count=count, filt=filt,

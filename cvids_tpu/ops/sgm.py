@@ -125,8 +125,8 @@ def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
     p2_map = jnp.where(big_jump, pi2 / q2, pi2).astype(cost.dtype)
     p1_map = jnp.where(big_jump, pi1 / q1, pi1).astype(cost.dtype)
     if penalty_scale is not None:
-        p2_map = p2_map * penalty_scale
-        p1_map = p1_map * penalty_scale
+        p2_map = p2_map * penalty_scale.astype(cost.dtype)
+        p1_map = p1_map * penalty_scale.astype(cost.dtype)
     # use a scalar p1 per scan step (same modulation source as p2): we pass
     # p1 via broadcasting inside the scan by folding it into p2_eff's shape.
     h, w, d = cost.shape

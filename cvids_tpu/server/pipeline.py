@@ -25,6 +25,7 @@ import numpy as np
 
 from ..dense import estimator
 from ..geometry import quat_to_matrix
+from ..geometry.hostmath import quat_to_matrix_np
 from ..io.msgs import KeyframePacket
 from ..mapping import mesh as mesh_mod
 from ..mapping.tsdf import TsdfConfig, TsdfVolume
@@ -70,6 +71,7 @@ class CollaborativeServer:
         self.dense_state: dict[int, _DenseClientState] = {}
         self.depth_maps_published = 0
         self._client_k: dict[int, np.ndarray] = {}
+        self._undistort_grid: dict[int, np.ndarray] = {}
 
     # ---------- ingestion ----------
 
@@ -142,6 +144,55 @@ class CollaborativeServer:
     def set_client_intrinsics(self, cid: int, k: np.ndarray):
         self._client_k[cid] = np.asarray(k, np.float32)
 
+    def set_client_camera(self, cid: int, cam):
+        """Dense-path undistortion: the reference undistorts the reference and
+        match frames onto the pinhole K before the cost kernel
+        (`sgm_stereo_mapper.cpp:55-123,155-175`). Builds the remap grid ONCE
+        per client (each dense-image pixel -> its distorted source pixel);
+        per-frame undistortion is then a single bilinear gather on device."""
+        cfg = self.cfg.dense
+        k = np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                      [0.0, 0.0, 1.0]], np.float32)
+        self._client_k[cid] = k
+        dist = np.asarray(cam.dist)
+        if not np.any(dist):
+            return  # already pinhole; no remap needed
+        uu, vv = np.meshgrid(np.arange(cfg.width, dtype=np.float32),
+                             np.arange(cfg.height, dtype=np.float32))
+        norm = np.stack([(uu - float(cam.cx)) / float(cam.fx),
+                         (vv - float(cam.cy)) / float(cam.fy)], axis=-1)
+        px = np.asarray(cam.project_normalized(
+            jnp.asarray(norm.reshape(-1, 2), jnp.float32)))
+        self._undistort_grid[cid] = px.reshape(cfg.height, cfg.width, 2)
+
+    def _undistort(self, cid: int, img: np.ndarray) -> jnp.ndarray:
+        grid = self._undistort_grid.get(cid)
+        img_j = jnp.asarray(img, jnp.float32)
+        if grid is None:
+            return img_j
+        from ..ops.image import bilinear_sample
+        return bilinear_sample(img_j, jnp.asarray(grid), fill=0.0)
+
+    def _sparse_from_packet(self, pkt: KeyframePacket, k: np.ndarray):
+        """Window VIO landmarks -> (pixel uv, inverse depth, valid) in the
+        dense reference image (`BindSparsePoints`,
+        `server_keyframe.cpp:934-962`): the agent's triangulated points give
+        the cost volume a metric prior exactly where VIO is confident."""
+        if pkt.win_pts3d is None or len(pkt.win_pts3d) == 0:
+            return None
+        r_wb = quat_to_matrix_np(pkt.q_wb)
+        pts_b = (pkt.win_pts3d - pkt.p_wb) @ r_wb
+        pts_c = (pts_b - pkt.p_bc) @ np.asarray(pkt.r_cb).T
+        z = pts_c[:, 2]
+        uv_h = pts_c @ k.T
+        uv = uv_h[:, :2] / np.maximum(uv_h[:, 2:3], 1e-6)
+        valid = (np.asarray(pkt.win_valid, bool)
+                 & (z > 0.3) & (z < 50.0) & np.isfinite(uv).all(axis=1))
+        if not valid.any():
+            return None
+        return (uv.astype(np.float32),
+                (1.0 / np.maximum(z, 1e-6)).astype(np.float32), valid)
+
     def _dense_step(self, pkt: KeyframePacket, idx: int, info: dict):
         """Per-client rolling-reference depth estimation
         (`server_pose_graph.cpp:779-919` dense section)."""
@@ -167,7 +218,7 @@ class CollaborativeServer:
         a_mat = k @ r_mr @ np.linalg.inv(k)
         b_vec = k @ t_mr
         ds.state = estimator.fuse_measurement(
-            cfg.dense, ds.state, jnp.asarray(pkt.image, jnp.float32),
+            cfg.dense, ds.state, self._undistort(cid, pkt.image),
             jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32))
         ds.fused += 1
         ds.since_ref += 1
@@ -185,7 +236,15 @@ class CollaborativeServer:
             raise ValueError(
                 f"dense config expects {cfg.height}x{cfg.width} images, "
                 f"got {img.shape} — set PipelineConfig.dense accordingly")
-        img_j = jnp.asarray(img, jnp.float32)
+        cid = int(pkt.client_id)
+        img_j = self._undistort(cid, img)
+        k_ref = self._k_matrix(pkt) if k is None else k
+        sp = self._sparse_from_packet(pkt, k_ref)
+        sp_args = {}
+        if sp is not None:
+            sp_args = dict(sparse_uv=jnp.asarray(sp[0]),
+                           sparse_inv_depth=jnp.asarray(sp[1]),
+                           sparse_valid=jnp.asarray(sp[2]))
         if prev is not None and k is not None:
             # seed the new reference's filter from the previous one
             # (`PropogateFromPreviousFrame`)
@@ -193,11 +252,16 @@ class CollaborativeServer:
             r_wc_new, t_wc_new = self._world_cam_pose(idx)
             r_no = r_wc_new.T @ r_wc_old
             t_no = r_wc_new.T @ (t_wc_old - t_wc_new)
+            bias = (estimator.splat_sparse(cfg, sp_args["sparse_uv"],
+                                           sp_args["sparse_inv_depth"],
+                                           sp_args["sparse_valid"])
+                    if sp is not None else None)
             state = estimator.propagate_reference(
                 cfg, prev.state, img_j, jnp.asarray(r_no, jnp.float32),
-                jnp.asarray(t_no, jnp.float32), jnp.asarray(k, jnp.float32))
+                jnp.asarray(t_no, jnp.float32), jnp.asarray(k, jnp.float32),
+                sparse_bias=bias)
         else:
-            state = estimator.init_reference(cfg, img_j)
+            state = estimator.init_reference(cfg, img_j, **sp_args)
         return _DenseClientState(ref_index=idx, state=state, fused=0,
                                  since_ref=0)
 

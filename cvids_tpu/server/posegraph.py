@@ -493,80 +493,110 @@ class CollaborativePoseGraph:
 
     def optimize(self):
         """4-DoF solve over aligned keyframes + drift propagation
-        (`Optimize4DoF`, `server_pose_graph.cpp:1107-1815`)."""
+        (`Optimize4DoF`, `server_pose_graph.cpp:1107-1815`).
+
+        Like the reference, only keyframes in [earliest-loop-index, newest]
+        enter the problem (`server_pose_graph.cpp:1470-1475`); earlier poses
+        are settled and never revisited. The window is padded to a
+        power-of-two tier so solve time stays bounded by the *active* window,
+        not total trajectory length, and jit recompiles O(log n) times."""
         cfg = self.cfg
         st = self.store
         n = st.count
         if n < 2:
             return
         self._run_pcm()
+        k_loops = self.loop_count
+        lv = (self.loop_valid & self.loop_pcm_ok)[:k_loops]
+        lo = int(self.loop_i[:k_loops][lv].min()) if lv.any() else 0
+        wn = n - lo  # active window length
+
         aligned_mask = np.array([self.clients[int(c)].aligned if c >= 0 else False
-                                 for c in st.client[:n]])
-        valid = np.zeros(st.capacity, bool)
-        valid[:n] = aligned_mask
-        fixed = np.zeros(st.capacity, bool)
-        first_world = np.nonzero((st.client[:n] == self.world_client))[0]
+                                 for c in st.client[lo:n]])
+        tier = max(64, 1 << (wn - 1).bit_length())
+        pad = tier - wn
+        valid = np.concatenate([aligned_mask, np.zeros(pad, bool)])
+        fixed = np.zeros(tier, bool)
+        # anchor: first in-window KF of the world client
+        # (`server_pose_graph.cpp:1513-1519`)
+        first_world = np.nonzero((st.client[lo:n] == self.world_client)
+                                 & aligned_mask)[0]
         if len(first_world):
             fixed[first_world[0]] = True
 
         # node init: current world estimates; measurements from VIO (batched)
-        vio_ypr = r_to_ypr_np(quat_to_matrix_np(st.vio_q[:n]))
+        vio_ypr = r_to_ypr_np(quat_to_matrix_np(st.vio_q[lo:n]))
         vio_yaw = vio_ypr[:, 0].astype(np.float32)
         vio_pr = vio_ypr[:, 1:].astype(np.float32)
-        pad = st.capacity - n
+
+        def padded(a, width):
+            return np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)])[:width]
+
         nodes = opt.PoseGraphNodes(
-            yaw=jnp.asarray(np.concatenate([st.world_yaw[:n], np.zeros(pad)]), jnp.float32),
-            pr=jnp.asarray(np.concatenate([st.world_pr[:n], np.zeros((pad, 2))]), jnp.float32),
-            t=jnp.asarray(np.concatenate([st.world_p[:n], np.zeros((pad, 3))]), jnp.float32),
+            yaw=jnp.asarray(padded(st.world_yaw[lo:n], tier), jnp.float32),
+            pr=jnp.asarray(padded(st.world_pr[lo:n], tier), jnp.float32),
+            t=jnp.asarray(padded(st.world_p[lo:n], tier), jnp.float32),
             valid=jnp.asarray(valid), fixed=jnp.asarray(fixed))
 
         # sequential edges from VIO (invariant to submap transform)
-        vio_yaw_full = np.concatenate([vio_yaw, np.zeros(pad, np.float32)])
-        vio_pr_full = np.concatenate([vio_pr.astype(np.float32), np.zeros((pad, 2), np.float32)])
-        vio_t_full = np.concatenate([st.vio_p[:n], np.zeros((pad, 3), np.float32)])
+        client_pad = np.concatenate([st.client[lo:n].astype(np.int32),
+                                     np.full(pad, -2, np.int32)])
         seq = opt.make_sequential_edges(
-            jnp.asarray(vio_yaw_full), jnp.asarray(vio_pr_full),
-            jnp.asarray(vio_t_full),
-            jnp.asarray(np.concatenate([st.client[:n], np.full(pad, -2, np.int32)])),
+            jnp.asarray(padded(vio_yaw, tier)),
+            jnp.asarray(padded(vio_pr, tier)),
+            jnp.asarray(padded(st.vio_p[lo:n], tier)),
+            jnp.asarray(client_pad),
             jnp.asarray(valid), max_back=cfg.seq_back)
 
-        # loop edges (PCM-filtered)
-        L = cfg.max_loops
-        lt_w = np.full(L, cfg.loop_t_weight, np.float32)
-        ly_w = np.full(L, cfg.loop_yaw_weight, np.float32)
-        lv = self.loop_valid & self.loop_pcm_ok
+        # loop edges (PCM-filtered), indices shifted into the window; every
+        # recorded loop has i >= lo by construction (lo = min over loop_i)
+        lt = max(64, 1 << max(k_loops - 1, 0).bit_length())
+        li = np.zeros(lt, np.int32)
+        lj = np.zeros(lt, np.int32)
+        lT = np.zeros((lt, 3), np.float32)
+        lyaw = np.zeros(lt, np.float32)
+        lval = np.zeros(lt, bool)
+        li[:k_loops] = self.loop_i[:k_loops] - lo
+        lj[:k_loops] = self.loop_j[:k_loops] - lo
+        lT[:k_loops] = self.loop_t[:k_loops]
+        lyaw[:k_loops] = self.loop_yaw[:k_loops]
+        lval[:k_loops] = lv & (self.loop_i[:k_loops] >= lo)
+        li = np.clip(li, 0, tier - 1)
+        lj = np.clip(lj, 0, tier - 1)
         loops = opt.PoseGraphEdges(
-            i=jnp.asarray(self.loop_i), j=jnp.asarray(self.loop_j),
-            t_ij=jnp.asarray(self.loop_t), yaw_ij=jnp.asarray(self.loop_yaw),
-            t_weight=jnp.asarray(lt_w), yaw_weight=jnp.asarray(ly_w),
-            valid=jnp.asarray(lv),
-            huber=jnp.full(L, cfg.loop_huber, jnp.float32))
+            i=jnp.asarray(li), j=jnp.asarray(lj),
+            t_ij=jnp.asarray(lT), yaw_ij=jnp.asarray(lyaw),
+            t_weight=jnp.full(lt, cfg.loop_t_weight, jnp.float32),
+            yaw_weight=jnp.full(lt, cfg.loop_yaw_weight, jnp.float32),
+            valid=jnp.asarray(lval),
+            huber=jnp.full(lt, cfg.loop_huber, jnp.float32))
 
         edges = opt.PoseGraphEdges(*[jnp.concatenate([a, b])
                                      for a, b in zip(seq, loops)])
         out = opt.optimize_pose_graph(nodes, edges, cfg.lm_iters, cfg.cg_iters)
 
-        new_yaw = np.asarray(out.yaw)[:n]
-        new_t = np.asarray(out.t)[:n]
-        upd = valid[:n]
-        st.world_yaw[:n][upd] = new_yaw[upd]
-        st.world_p[:n][upd] = new_t[upd]
-        st.optimized[:n] |= upd
+        new_yaw = np.asarray(out.yaw)[:wn]
+        new_t = np.asarray(out.t)[:wn]
+        upd = valid[:wn]
+        st.world_yaw[lo:n][upd] = new_yaw[upd]
+        st.world_p[lo:n][upd] = new_t[upd]
+        st.optimized[lo:n] |= upd
 
         # drift per client from its last optimized KF
         # (`server_pose_graph.cpp:1720-1796`)
         for cid, c in enumerate(self.clients):
             if not (c.registered and c.aligned):
                 continue
-            sel = np.nonzero((st.client[:n] == cid) & upd)[0]
+            sel = np.nonzero((st.client[lo:n] == cid) & upd)[0]
             if len(sel) == 0:
                 continue
             k = int(sel[-1])
             # submap-transformed VIO pose (no drift)
-            p_sv = rot_z_np(c.yaw_wl) @ st.vio_p[k] + c.t_wl
+            p_sv = rot_z_np(c.yaw_wl) @ st.vio_p[lo + k] + c.t_wl
             yaw_sv = vio_yaw[k] + c.yaw_wl
-            yaw_d = float(wrap_angle_np(st.world_yaw[k] - yaw_sv))
-            t_d = st.world_p[k] - rot_z_np(yaw_d) @ p_sv
+            yaw_d = float(wrap_angle_np(st.world_yaw[lo + k] - yaw_sv))
+            t_d = st.world_p[lo + k] - rot_z_np(yaw_d) @ p_sv
             c.yaw_drift = yaw_d
             c.t_drift = t_d.astype(np.float32)
 

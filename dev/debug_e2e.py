@@ -37,7 +37,9 @@ SMALL_CAM = CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
 
 
 def write_agents(base, world_seed=99):
-    cfg = AgentConfig(camera=SMALL_CAM)
+    # quarter-scale camera -> proportionally denser tracker settings
+    cfg = AgentConfig(camera=SMALL_CAM, fast_threshold=12.0,
+                      min_feature_dist=16)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         root = os.path.join(base, f"agent{cid}")

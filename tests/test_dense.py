@@ -254,3 +254,77 @@ def test_mxu_sweep_matches_gather_oracle(rng):
     assert both.mean() > 0.5
     err = np.abs(np.asarray(c1) - np.asarray(c2))[both]
     assert err.mean() < 1.0 and np.median(err) < 0.5
+
+
+def test_sparse_bias_improves_ambiguous_depth(rng):
+    """VERDICT item 4 'done' criterion: the sparse VIO prior must measurably
+    improve depth where photometric evidence is weak (`FuseSparseInfoKernel`,
+    `calc_cost.cu:684-735`). A near-textureless plane makes the cost volume
+    almost flat; splatted sparse depths should pull SGM/WTA to the truth."""
+    depth = 2.0
+    cfg = estimator.DenseConfig(
+        height=H, width=W, num_depths=D,
+        dep_sample=float(inv_depth_grid()[1] - inv_depth_grid()[0]),
+        tau2_scale=0.5, pi1=2.0, pi2=8.0)
+    inv_true = 1.0 / depth
+    k = cam_k()
+    pad = 40
+    # texture amplitude ~2 gray levels + sensor noise -> ambiguous matching
+    tex = 100.0 + rng.uniform(0, 2.0, (H, W + 2 * pad)).astype(np.float32)
+    ref = tex[:, pad:pad + W]
+    views = []
+    for b in (0.1, 0.15, 0.2):
+        disp = int(round(k[0, 0] * b / depth))
+        meas = tex[:, pad + disp:pad + disp + W]
+        meas = meas + rng.normal(0, 0.5, meas.shape).astype(np.float32)
+        views.append((meas, (k @ np.linalg.inv(k)).astype(np.float32),
+                      (k @ np.array([-b, 0, 0], np.float32)).astype(np.float32)))
+
+    # sparse prior: a grid of correct-depth landmarks every ~8 px
+    gy, gx = np.mgrid[4:H - 4:8, 4:W - 4:8]
+    uv = np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+    sp_inv = np.full(len(uv), inv_true, np.float32)
+
+    def run(sparse):
+        if sparse:
+            st = estimator.init_reference(
+                cfg, jnp.asarray(ref), sparse_uv=jnp.asarray(uv),
+                sparse_inv_depth=jnp.asarray(sp_inv),
+                sparse_valid=jnp.ones(len(uv), bool))
+        else:
+            st = estimator.init_reference(cfg, jnp.asarray(ref))
+        for meas, a_mat, b_vec in views:
+            st = estimator.fuse_measurement(cfg, st, jnp.asarray(meas),
+                                            jnp.asarray(a_mat),
+                                            jnp.asarray(b_vec))
+        crop = (slice(8, -8), slice(8, -8))
+        err = np.abs(np.asarray(st.filt.mu) - inv_true)[crop]
+        return np.sqrt(np.mean(err ** 2))
+
+    rms_off = run(False)
+    rms_on = run(True)
+    assert rms_on < 0.6 * rms_off, (rms_on, rms_off)
+    assert rms_on < 0.05, rms_on
+
+
+def test_penalty_map_modulates_by_texture(rng):
+    """`InitReference` penalty map (`sgm_stereo_mapper.cpp:75-82`): smooth
+    regions get stronger SGM penalties (up to 0.8 + 1.5*mean^3), textured
+    regions approach the 0.8 floor."""
+    img = np.full((H, W), 50.0, np.float32)
+    img[:, W // 2:] += rng.uniform(0, 120.0, (H, W // 2)).astype(np.float32)
+    from cvids_tpu.ops.image import image_gradients
+    pm = np.asarray(estimator.penalty_map(image_gradients(jnp.asarray(img))))
+    flat = pm[4:-4, 4:W // 2 - 4].mean()
+    busy = pm[4:-4, W // 2 + 4:-4].mean()
+    assert flat > 2.0, flat           # near the 2.3 ceiling
+    assert busy < 1.4, busy
+    assert pm.min() >= 0.8 - 1e-5 and pm.max() <= 2.3 + 1e-5
+    # a fresh reference state carries the map; disabling yields ones
+    st = estimator.init_reference(cfg := estimator.DenseConfig(
+        height=H, width=W, num_depths=8), jnp.asarray(img))
+    assert st.penalty.shape == (H, W)
+    cfg_off = estimator.DenseConfig(height=H, width=W, num_depths=8,
+                                    use_penalty_map=False)
+    st_off = estimator.init_reference(cfg_off, jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(st_off.penalty), 1.0)

@@ -57,7 +57,11 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     """Two synthetic agents on overlapping loops through the full example
     script: sensor.yaml calibration, front-end on rendered pixels+IMU,
     collaborative server, ATE vs the written ground truth."""
-    cfg = AgentConfig(camera=SMALL_CAM)
+    # quarter-scale camera -> proportionally denser tracker settings; both
+    # agents must share one landmark world (world_seed) or inter-agent loop
+    # closure is geometrically impossible
+    cfg = AgentConfig(camera=SMALL_CAM, fast_threshold=12.0,
+                      min_feature_dist=16)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         root = str(tmp_path / f"agent{cid}")
@@ -65,8 +69,8 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
                                            height_amp=0.2, phase=phase)
         euroc_synth.write_euroc_sequence(root, cfg=cfg, trajectory=traj,
                                          duration=7.0, cam_rate=2.0,
-                                         imu_rate=200.0, num_landmarks=400,
-                                         seed=11 + cid)
+                                         imu_rate=200.0, num_landmarks=1000,
+                                         seed=11 + cid, world_seed=99)
         roots.append(root)
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,

@@ -111,3 +111,84 @@ def test_trajectory_export(world):
     assert tr.shape[0] == len(packets)
     # quaternions normalized
     np.testing.assert_allclose(np.linalg.norm(tr[:, 4:], axis=1), 1.0, atol=1e-5)
+
+
+def test_optimize_window_restriction(world):
+    """Only keyframes from the earliest loop index onward enter the solve
+    (`server_pose_graph.cpp:1470-1475`): poses before the window must not
+    move, and the solve runs on a power-of-two tier of the window, not the
+    full trajectory."""
+    _, _, voc = world
+    server = posegraph.CollaborativePoseGraph(voc, small_config())
+    st = server.store
+    n = 600
+    while st.capacity < n:
+        st._grow()
+    # hand-fill the store: one client on a line, yaw 0
+    ts = np.arange(n, dtype=np.float64)
+    st.count = n
+    st.client[:n] = 0
+    st.local_index[:n] = np.arange(n)
+    st.timestamp[:n] = ts
+    p = np.stack([0.1 * np.arange(n), np.zeros(n), np.zeros(n)], -1)
+    st.vio_p[:n] = p
+    st.vio_q[:n] = [1, 0, 0, 0]
+    st.world_p[:n] = p
+    st.world_yaw[:n] = 0.0
+    server.register_client(0)
+    server.clients[0].kf_count = n
+    # perturb the tail estimates; loops constrain [500, 600)
+    st.world_p[520:n, 1] += 0.5
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        i = int(rng.integers(500, 540))
+        j = int(rng.integers(560, 600))
+        edge = {"t_ij": (p[j] - p[i]).astype(np.float32), "yaw_ij": 0.0,
+                "q_bibj": np.array([1, 0, 0, 0], np.float32)}
+        server.loop_i[server.loop_count] = i
+        server.loop_j[server.loop_count] = j
+        server.loop_t[server.loop_count] = edge["t_ij"]
+        server.loop_yaw[server.loop_count] = 0.0
+        server.loop_valid[server.loop_count] = True
+        server.loop_pcm_ok[server.loop_count] = True
+        server.loop_count += 1
+    before = st.world_p[:500].copy()
+    server.optimize()
+    # pre-window poses untouched
+    np.testing.assert_array_equal(st.world_p[:500], before)
+    assert not st.optimized[:500].any()
+    # in-window poses pulled back toward the consistent line
+    tail_err = np.abs(st.world_p[520:n, 1])
+    assert tail_err.mean() < 0.25, tail_err.mean()
+    assert st.optimized[500:n].all()
+
+
+def test_store_and_loop_growth(world):
+    """Capacity tiers: the store and loop arrays double instead of raising
+    (reference graphs are unbounded, `server_pose_graph.cpp:344`)."""
+    from cvids_tpu.server.keyframe import KeyframeStore
+    _, descs, voc = world
+    st = KeyframeStore(capacity=8, max_win=4, max_ext=4)
+    from cvids_tpu.io.msgs import KeyframePacket
+    pkt = KeyframePacket(
+        client_id=0, timestamp=1.5,
+        p_wb=np.array([1, 2, 3], np.float32),
+        q_wb=np.array([1, 0, 0, 0], np.float32),
+        r_cb=np.eye(3, dtype=np.float32), p_bc=np.zeros(3, np.float32),
+        win_pts3d=np.ones((2, 3), np.float32),
+        win_uv=np.ones((2, 2), np.float32),
+        win_ids=np.arange(2, dtype=np.int64),
+        win_desc=np.full((2, 8), 7, np.uint32),
+        win_valid=np.ones(2, bool),
+        ext_uv=np.ones((3, 2), np.float32),
+        ext_desc=np.full((3, 8), 9, np.uint32),
+        ext_valid=np.ones(3, bool), image=None)
+    for k in range(20):
+        st.add(pkt, k)
+    assert st.capacity == 32 and st.count == 20
+    # early content preserved across growth
+    assert st.timestamp[0] == 1.5
+    assert (st.win_desc[0, :2] == 7).all()
+    assert st.local_index[19] == 19 and st.client[19] == 0
+    # empty index-like slots stay -1
+    assert (st.client[20:] == -1).all()

@@ -65,11 +65,20 @@ class Trajectory:
         return p, rs, v
 
     @staticmethod
-    def circle(radius=5.0, omega=0.4, height_amp=0.5, phase=0.0, center=(0.0, 0.0, 1.5)):
+    def circle(radius=5.0, omega=0.4, height_amp=0.5, phase=0.0,
+               center=(0.0, 0.0, 1.5), speed_mod=0.0, speed_mod_freq=0.9):
+        """Circle with optional along-track speed modulation.
+
+        A constant-rate circle with velocity-following heading is a classic
+        visual-inertial degenerate case: centripetal acceleration is constant
+        in the BODY frame, so an accelerometer bias absorbs it and metric
+        scale becomes unobservable. `speed_mod` > 0 varies the angular rate
+        (a = omega*t + speed_mod*sin(f*t)), restoring scale observability —
+        real MAV flight always has this excitation."""
         c = np.asarray(center)
 
         def f(t):
-            a = omega * t + phase
+            a = omega * t + phase + speed_mod * np.sin(speed_mod_freq * t)
             return np.stack([
                 c[0] + radius * np.cos(a),
                 c[1] + radius * np.sin(a),

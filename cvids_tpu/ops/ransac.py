@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 from ..geometry import matrix_to_quat, quat_to_matrix, so3_exp, so3_hat
 
-__all__ = ["pnp_ransac", "fundamental_ransac", "PnPResult", "FResult",
-           "refine_pose_gn"]
+__all__ = ["pnp_ransac", "fundamental_ransac", "essential_pose", "PnPResult",
+           "FResult", "EPoseResult", "refine_pose_gn"]
 
 
 class PnPResult(NamedTuple):
@@ -194,6 +194,65 @@ def _sampson_error(f: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
     num = jnp.sum(h2 * fx1, axis=1) ** 2
     den = fx1[:, 0] ** 2 + fx1[:, 1] ** 2 + ftx2[:, 0] ** 2 + ftx2[:, 1] ** 2
     return num / jnp.maximum(den, 1e-12)
+
+
+class EPoseResult(NamedTuple):
+    r: jax.Array           # (3, 3) R_c1<-c0
+    t: jax.Array           # (3,) unit translation, cam1 frame
+    inliers: jax.Array     # (N,) bool (epipolar inliers)
+    num_pos: jax.Array     # cheirality votes of the winning decomposition
+    ok: jax.Array
+
+
+def _two_view_depths(r: jax.Array, t: jax.Array, p0: jax.Array,
+                     p1: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-point depths (z0, z1) for cam0 rays p0 and cam1 rays p1 under
+    x1*z1 = R x0*z0 + t — 2-unknown least squares per correspondence."""
+    x0 = jnp.concatenate([p0, jnp.ones_like(p0[:, :1])], axis=1)  # (N,3)
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], axis=1)
+    a0 = x0 @ r.T                                  # (N,3) = R x0
+    # minimize |a0*z0 - x1*z1 + t|^2 over (z0, z1)
+    aa = jnp.sum(a0 * a0, 1)
+    bb = jnp.sum(x1 * x1, 1)
+    ab = jnp.sum(a0 * x1, 1)
+    a_t = jnp.sum(a0 * t[None], 1)
+    b_t = jnp.sum(x1 * t[None], 1)
+    det = aa * bb - ab * ab
+    z0 = (-a_t * bb + ab * b_t) / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    z1 = (-a_t * ab + aa * b_t) / jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    return z0, z1
+
+
+@jax.jit
+def essential_pose(p0: jax.Array, p1: jax.Array, valid: jax.Array,
+                   key: jax.Array) -> EPoseResult:
+    """Relative camera pose from 2-view normalized correspondences.
+
+    RANSAC essential matrix (normalized coords make F = E) + the standard
+    four-fold decomposition with a cheirality vote — the `cv::recoverPose`
+    role, used as the pre-VI-init visual pose bootstrap (VINS-Mono's SfM
+    initialization stage; the reference's agents presume it)."""
+    fres = fundamental_ransac(p0, p1, valid, key,
+                              inlier_thresh=(1.5 / 460.0) ** 2)
+    u, s, vt = jnp.linalg.svd(fres.f)
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    w = jnp.asarray([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    rs = jnp.stack([u @ w @ vt, u @ w.T @ vt])          # (2,3,3)
+    ts = jnp.stack([u[:, 2], -u[:, 2]])                  # (2,3)
+    mask = fres.inliers & valid
+
+    def votes(r, t):
+        z0, z1 = _two_view_depths(r, t, p0, p1)
+        return jnp.sum((z0 > 0) & (z1 > 0) & mask)
+
+    cand_r = jnp.stack([rs[0], rs[0], rs[1], rs[1]])
+    cand_t = jnp.stack([ts[0], ts[1], ts[0], ts[1]])
+    v = jax.vmap(votes)(cand_r, cand_t)
+    best = jnp.argmax(v)
+    n_in = jnp.sum(mask)
+    ok = (v[best] >= 0.7 * jnp.maximum(n_in, 1)) & (n_in >= 8)
+    return EPoseResult(cand_r[best], cand_t[best], fres.inliers, v[best], ok)
 
 
 def fundamental_ransac(p1: jax.Array, p2: jax.Array, valid: jax.Array,

@@ -147,12 +147,21 @@ def _match_and_pnp(win_desc, win_valid, win_uv, win_pts_camj, ext_desc,
 
 
 class CollaborativePoseGraph:
-    def __init__(self, voc: vocab_mod.Vocabulary, config: ServerConfig | None = None):
+    def __init__(self, voc, config: ServerConfig | None = None):
+        """`voc` is either a trained dense `Vocabulary` (small word counts)
+        or a `TreeVocabulary` (the reference's k=10 L=6 million-word scale,
+        e.g. loaded from `brief_k10L6.bin`) — the latter switches place
+        recognition to the sparse inverted-index-style database
+        (`TemplatedDatabase.h:607-728` role)."""
         self.cfg = config or ServerConfig()
         self.voc = voc
         self.store = KeyframeStore(self.cfg.kf_capacity, self.cfg.max_win,
                                    self.cfg.max_ext)
-        self.db = vocab_mod.BowDatabase(voc, self.cfg.kf_capacity)
+        self._tree_mode = isinstance(voc, vocab_mod.TreeVocabulary)
+        if self._tree_mode:
+            self.db = vocab_mod.SparseBowDatabase(voc, self.cfg.kf_capacity)
+        else:
+            self.db = vocab_mod.BowDatabase(voc, self.cfg.kf_capacity)
         self.clients = [_ClientState() for _ in range(MAX_CLIENTS)]
         self.world_client = -1  # first registered client defines the world
         # loop edges (fixed capacity)
@@ -220,12 +229,19 @@ class CollaborativePoseGraph:
         self.store.world_yaw[idx] = yaw_w
         self.store.world_pr[idx] = pr_w
 
-        # BoW add + query
-        vec = np.asarray(vocab_mod.bow_vector(
-            self.voc, jnp.asarray(self.store.ext_desc[idx]),
-            jnp.asarray(self.store.ext_valid[idx])))
-        cand_idx, cand_score = self.db.query(vec, cid, cfg.exclude_recent)
-        self.db.add(vec, cid)
+        # BoW add + query (dense vector for trained small vocabularies;
+        # sparse tf-idf entries at reference vocabulary scale)
+        desc_j = jnp.asarray(self.store.ext_desc[idx])
+        valid_j = jnp.asarray(self.store.ext_valid[idx])
+        if self._tree_mode:
+            cand_idx, cand_score = self.db.query(desc_j, cid,
+                                                 cfg.exclude_recent,
+                                                 valid=valid_j)
+            self.db.add_descriptors(desc_j, cid, valid=valid_j)
+        else:
+            vec = np.asarray(vocab_mod.bow_vector(self.voc, desc_j, valid_j))
+            cand_idx, cand_score = self.db.query(vec, cid, cfg.exclude_recent)
+            self.db.add(vec, cid)
 
         info = {"index": idx, "loop": False, "aligned_event": False}
         old = self._select_loop_candidate(idx, cid, cand_idx, cand_score)
@@ -305,8 +321,7 @@ class CollaborativePoseGraph:
         ci = self.clients[int(st.client[i])]
         # window 3-D points of j, expressed in j's camera frame
         pts_l = st.win_pts3d[j]
-        q_j = jnp.asarray(st.vio_q[j])
-        r_wb = np.asarray(quat_to_matrix(q_j))
+        r_wb = quat_to_matrix_np(st.vio_q[j])
         pts_b = (pts_l - st.vio_p[j]) @ r_wb  # world->body (row-vector form)
         pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
 
@@ -320,15 +335,17 @@ class CollaborativePoseGraph:
         if not bool(res.ok):
             self._fc_fail = ("pnp", int(res.num_inliers))
             return None
-        # T_ci<-cj (camera frames) -> T_bi<-bj (body frames)
-        t_cicj = Pose(matrix_to_quat(res.r), res.t)
-        t_bc_i = Pose(matrix_to_quat(jnp.asarray(ci.r_cb.T)), jnp.asarray(ci.p_bc))
-        t_cb_j = inverse(Pose(matrix_to_quat(jnp.asarray(cj.r_cb.T)), jnp.asarray(cj.p_bc)))
-        t_bibj = compose(t_bc_i, compose(t_cicj, t_cb_j))
-        t_ij = np.asarray(t_bibj.t)
-        # relative yaw via decomposition of the relative rotation combined
-        # with world pitch/roll (reference: yaw difference of world poses)
-        r_bibj = np.asarray(quat_to_matrix(t_bibj.q))
+        # T_ci<-cj (camera frames) -> T_bi<-bj (body frames); plain NumPy —
+        # this runs per candidate keyframe and eager jnp pose algebra was the
+        # ingest hot spot (one device dispatch per tiny op)
+        r_cicj = np.asarray(res.r, np.float64)
+        t_cicj = np.asarray(res.t, np.float64)
+        r_bc_i, t_bc_i = ci.r_cb.T.astype(np.float64), ci.p_bc.astype(np.float64)
+        r_cb_j = cj.r_cb.astype(np.float64)          # T_cj<-bj rotation
+        t_cb_j = -r_cb_j @ cj.p_bc.astype(np.float64)
+        r_bibj = r_bc_i @ r_cicj @ r_cb_j
+        t_ij = r_bc_i @ (r_cicj @ t_cb_j + t_cicj) + t_bc_i
+        q_bibj = matrix_to_quat_np(r_bibj).astype(np.float32)
         # estimated world rotation of i = R_w_bj * R_bibj^T
         r_w_bj = ypr_to_r_np([st.world_yaw[j], st.world_pr[j, 0],
                               st.world_pr[j, 1]])
@@ -348,7 +365,7 @@ class CollaborativePoseGraph:
             return None
         self.last_loop = {"i": i, "j": j, "inliers": int(res.num_inliers)}
         return {"t_ij": t_ij.astype(np.float32), "yaw_ij": rel_yaw,
-                "q_bibj": np.asarray(t_bibj.q), "num_inliers": int(res.num_inliers)}
+                "q_bibj": q_bibj, "num_inliers": int(res.num_inliers)}
 
     # ---------- submap alignment ----------
 
@@ -445,15 +462,28 @@ class CollaborativePoseGraph:
             pairs.setdefault((min(a, b), max(a, b)), []).append(e)
         for (_, _), es in pairs.items():
             es = np.asarray(es)
-            if len(es) < cfg.pcm_min_edges:
+            e = len(es)
+            if e < cfg.pcm_min_edges:
                 continue
+            # pad the edge set to a power-of-two tier: every distinct edge
+            # count otherwise recompiles the (E, E) consistency kernel —
+            # measured as the dominant optimize() cost at ~1k loop edges
+            tier = 1 << (e - 1).bit_length()
+            pad = tier - e
+
+            def padv(a):
+                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+            pmask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
             edge_T = pcm_mod.FourDof(
-                jnp.asarray(self.loop_yaw[es]),
-                jnp.asarray(self.loop_t[es]))
+                jnp.asarray(padv(self.loop_yaw[es])),
+                jnp.asarray(padv(self.loop_t[es])))
             yaw_i = yaw_of_quat_np(st.vio_q[li[es]]).astype(np.float32)
             yaw_j = yaw_of_quat_np(st.vio_q[lj[es]]).astype(np.float32)
-            pose_i = pcm_mod.FourDof(jnp.asarray(yaw_i), jnp.asarray(st.vio_p[li[es]]))
-            pose_j = pcm_mod.FourDof(jnp.asarray(yaw_j), jnp.asarray(st.vio_p[lj[es]]))
+            pose_i = pcm_mod.FourDof(jnp.asarray(padv(yaw_i)),
+                                     jnp.asarray(padv(st.vio_p[li[es]])))
+            pose_j = pcm_mod.FourDof(jnp.asarray(padv(yaw_j)),
+                                     jnp.asarray(padv(st.vio_p[lj[es]])))
             chain = None
             if cfg.pcm_chain_cov:
                 # full per-client odometry chains ordered by local index,
@@ -461,16 +491,15 @@ class CollaborativePoseGraph:
                 cid_a = int(st.client[li[es][0]])
                 cid_b = int(st.client[lj[es][0]])
                 chain = (self._client_chain(cid_a),
-                         jnp.asarray(st.local_index[li[es]]),
+                         jnp.asarray(padv(st.local_index[li[es]])),
                          self._client_chain(cid_b),
-                         jnp.asarray(st.local_index[lj[es]]),
+                         jnp.asarray(padv(st.local_index[lj[es]])),
                          cfg.pcm_step_sigma_t, cfg.pcm_step_sigma_yaw)
-            keep = pcm_mod.pcm_filter(edge_T, pose_i, pose_j,
-                                      np.ones(len(es), bool),
+            keep = pcm_mod.pcm_filter(edge_T, pose_i, pose_j, pmask,
                                       cfg.pcm_min_edges, cfg.pcm_sigma_t,
                                       cfg.pcm_sigma_yaw, cfg.pcm_gamma,
                                       chain=chain)
-            self.loop_pcm_ok[es] = keep
+            self.loop_pcm_ok[es] = keep[:e]
 
     def _client_chain(self, cid: int) -> pcm_mod.FourDof:
         """One client's full odometry chain (local frame), local-index order.
@@ -487,7 +516,14 @@ class CollaborativePoseGraph:
         sel = np.nonzero(st.client[:n] == cid)[0]
         order = sel[np.argsort(st.local_index[sel])]
         yaws = yaw_of_quat_np(st.vio_q[order]).astype(np.float32)
-        chain = pcm_mod.FourDof(jnp.asarray(yaws), jnp.asarray(st.vio_p[order]))
+        # pad to a power-of-two tier (shape-stable jits as the chain grows);
+        # chain indices always address the real prefix
+        tier = max(64, 1 << max(len(order) - 1, 0).bit_length())
+        pad = tier - len(order)
+        yaws = np.concatenate([yaws, np.repeat(yaws[-1:], pad)])
+        ps = np.concatenate([st.vio_p[order],
+                             np.repeat(st.vio_p[order][-1:], pad, axis=0)])
+        chain = pcm_mod.FourDof(jnp.asarray(yaws), jnp.asarray(ps))
         self._chain_cache[cid] = (key, chain)
         return chain
 

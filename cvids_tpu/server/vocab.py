@@ -114,27 +114,40 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
     return Vocabulary(tuple(level_desc), jnp.asarray(w), k, levels)
 
 
-def quantize(voc: Vocabulary, descriptors: jax.Array) -> jax.Array:
-    """(N, 8) uint32 -> (N,) int32 word ids. Batched tree descent."""
+@partial(jax.jit, static_argnames=("k", "levels"))
+def _quantize_impl(level_desc, descriptors, k: int, levels: int) -> jax.Array:
     n = descriptors.shape[0]
     node = jnp.zeros(n, jnp.int32)  # path index at current level
-    for l in range(voc.levels):
-        cand = voc.level_desc[l][node[:, None] * voc.k + jnp.arange(voc.k)[None, :]]
+    for l in range(levels):
+        cand = level_desc[l][node[:, None] * k + jnp.arange(k)[None, :]]
         x = jax.lax.population_count(descriptors[:, None, :] ^ cand)
         d = jnp.sum(x.astype(jnp.int32), axis=-1)  # (N, k)
-        node = node * voc.k + jnp.argmin(d, axis=-1).astype(jnp.int32)
+        node = node * k + jnp.argmin(d, axis=-1).astype(jnp.int32)
     return node
+
+
+def quantize(voc: Vocabulary, descriptors: jax.Array) -> jax.Array:
+    """(N, 8) uint32 -> (N,) int32 word ids. Batched tree descent (jitted:
+    this runs once per ingested keyframe and eager dispatch dominated)."""
+    return _quantize_impl(voc.level_desc, descriptors, voc.k, voc.levels)
+
+
+@partial(jax.jit, static_argnames=("k", "levels", "num_words"))
+def _bow_vector_impl(level_desc, weights, descriptors, valid,
+                     k: int, levels: int, num_words: int) -> jax.Array:
+    words = _quantize_impl(level_desc, descriptors, k, levels)
+    ones = jnp.ones(descriptors.shape[0], jnp.float32)
+    if valid is not None:
+        ones = jnp.where(valid, ones, 0.0)
+    v = jax.ops.segment_sum(ones, words, num_words) * weights
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-12)
 
 
 def bow_vector(voc: Vocabulary, descriptors: jax.Array,
                valid: jax.Array | None = None) -> jax.Array:
     """L1-normalized tf-idf BoW vector (W,) for one descriptor set."""
-    words = quantize(voc, descriptors)
-    ones = jnp.ones(descriptors.shape[0], jnp.float32)
-    if valid is not None:
-        ones = jnp.where(valid, ones, 0.0)
-    v = jax.ops.segment_sum(ones, words, voc.num_words) * voc.weights
-    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-12)
+    return _bow_vector_impl(voc.level_desc, voc.weights, descriptors, valid,
+                            voc.k, voc.levels, voc.num_words)
 
 
 def score_database(query: jax.Array, db: jax.Array,
@@ -403,6 +416,12 @@ class SparseBowDatabase:
 
     def add_descriptors(self, descriptors, client_id: int,
                         valid=None) -> int:
+        if self.count >= len(self.client):
+            # power-of-two growth, mirroring KeyframeStore._grow
+            self.ids = np.concatenate([self.ids, np.full_like(self.ids, -1)])
+            self.vals = np.concatenate([self.vals, np.zeros_like(self.vals)])
+            self.client = np.concatenate([self.client,
+                                          np.full_like(self.client, -1)])
         ids, vals = sparse_bow(self.tree, descriptors, valid, self.f)
         idx = self.count
         self.ids[idx] = ids

@@ -51,6 +51,16 @@ class AgentConfig:
     window_size: int = 10
     max_solver_iterations: int = 8  # `max_num_iterations` (:55)
     fast_threshold: float = 20.0
+    # weight of the between-keyframe bias random-walk factor in the window
+    # solve: at 0.5 s keyframe spacing the true bias walk is tiny, so a stiff
+    # factor stops the optimizer from laundering scale error into acc bias
+    # (scale is weakly observable on smooth trajectories)
+    bias_weight: float = 50.0
+    # keyframes to solve AFTER the VI bootstrap before publishing: the first
+    # couple of post-bootstrap solves still carry the initialization
+    # transient (measured ~1 m pose error on the first post-boot packet vs
+    # ~3 cm once settled)
+    publish_warmup: int = 2
     # body->camera extrinsics
     r_cb: tuple = ((0.0, -1.0, 0.0), (0.0, 0.0, -1.0), (1.0, 0.0, 0.0))
     p_bc: tuple = (0.0, 0.0, 0.0)

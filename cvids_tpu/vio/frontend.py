@@ -77,6 +77,9 @@ class AgentFrontend:
         self.initialized = False
         self.vi_initialized = False   # gyro-bias + gravity/scale bootstrap done
         self._last_solved = None
+        self._prior: ba.PriorFactor | None = None  # marginalization prior
+        self._post_boot = 0        # keyframes solved since the VI bootstrap
+        self._sfm_rng = jax.random.PRNGKey(4242)   # pre-init RANSAC stream
 
     # ---------- feature maintenance ----------
 
@@ -184,8 +187,65 @@ class AgentFrontend:
 
     # ---------- window management ----------
 
+    # tangent layout of `window_ba`: ravel_pytree over the sorted delta dict
+    # -> [dba (K*3), dbg (K*3), dlm (L*3), dp (K*3), dth (K*3), dv (K*3)]
+    def _tangent_offsets(self):
+        k, l = self.WINDOW, self.MAX_LM
+        return {"dba": 0, "dbg": 3 * k, "dlm": 6 * k,
+                "dp": 6 * k + 3 * l, "dth": 9 * k + 3 * l,
+                "dv": 12 * k + 3 * l}
+
+    def _clear_prior_lm(self, slot: int):
+        """Zero the prior's columns for a landmark slot that is being
+        reassigned to a NEW landmark — the old linearized information must
+        not constrain an unrelated point."""
+        if self._prior is None:
+            return
+        o = self._tangent_offsets()["dlm"] + 3 * slot
+        self._prior = self._prior._replace(
+            j=self._prior.j.at[:, o:o + 3].set(0.0))
+
+    def _marginalize_oldest(self):
+        """Schur-marginalize the leaving keyframe (and landmarks losing their
+        last observation) into a linearized prior over the shifted window —
+        the fixed-lag-smoother consistency step (VINS marginalization).
+        Without it the window simply forgets everything older than WINDOW
+        keyframes and the trajectory random-walks between solves."""
+        st = self.state
+        meas = self._build_meas()
+        k, l = self.WINDOW, self.MAX_LM
+        offs = self._tangent_offsets()
+        dying = self.vis[0] & ~self.vis[1:].any(axis=0)
+        mask = np.zeros(15 * k + 3 * l, bool)
+        for f in ("dba", "dbg", "dp", "dth", "dv"):
+            mask[offs[f]:offs[f] + 3] = True  # slot 0 of each kf field
+        lm0 = offs["dlm"]
+        mask[lm0:lm0 + 3 * l] = np.repeat(dying, 3)
+        j, r0 = ba.marginalize_prior(st, meas, jnp.asarray(mask))
+        j = np.asarray(j)
+        # re-index columns into the post-shift layout: kf slot s -> s-1, the
+        # (duplicated) newest slot unconstrained; dead landmark slots zeroed
+        jn = np.zeros_like(j)
+        for f in ("dba", "dbg", "dp", "dth", "dv"):
+            o = offs[f]
+            jn[:, o:o + 3 * (k - 1)] = j[:, o + 3:o + 3 * k]
+        jn[:, lm0:lm0 + 3 * l] = (j[:, lm0:lm0 + 3 * l]
+                                  * np.repeat(~dying, 3)[None, :])
+        roll_np = lambda a: np.concatenate([a[1:], a[-1:]], axis=0)
+        return ba.PriorFactor(
+            j=jnp.asarray(jn), r0=jnp.asarray(r0),
+            p=jnp.asarray(roll_np(np.asarray(st.p))),
+            q=jnp.asarray(roll_np(np.asarray(st.q))),
+            v=jnp.asarray(roll_np(np.asarray(st.v))),
+            bg=jnp.asarray(roll_np(np.asarray(st.bg))),
+            ba=jnp.asarray(roll_np(np.asarray(st.ba))),
+            lm=st.lm)
+
     def _shift_window(self):
-        """Fixed-lag slide: drop the oldest keyframe (roll arrays)."""
+        """Fixed-lag slide: marginalize the oldest keyframe into the prior,
+        then drop it (roll arrays)."""
+        if self.initialized and self.vi_initialized:
+            self._prior = self._marginalize_oldest()
         roll = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
         st = self.state
         self.state = st._replace(
@@ -201,6 +261,65 @@ class AgentFrontend:
         self.state = self.state._replace(
             lm_valid=self.state.lm_valid & jnp.asarray(seen))
         self.lm_id[~seen] = -1
+
+    def _visual_pose_init(self, slot: int):
+        """Pre-VI-init pose for the new slot from VISION (VINS-Mono's SfM
+        initialization stage): PnP against already-triangulated landmarks
+        when enough are visible (keeps the visual frame's scale consistent),
+        else essential-matrix decomposition against the previous frame (the
+        first pair defines the arbitrary visual scale)."""
+        from ..ops import ransac as ransac_mod
+        st = self.state
+        prev = slot - 1
+        if prev < 0:
+            return
+        self._sfm_rng, k1 = jax.random.split(self._sfm_rng)
+        lm_valid = np.asarray(st.lm_valid)
+        vis_new = self.vis[slot] & lm_valid
+        if vis_new.sum() >= 10:
+            res = ransac_mod.pnp_ransac(
+                st.lm, jnp.asarray(self.obs[slot]), jnp.asarray(vis_new), k1,
+                inlier_thresh=4.0 / self.cam.fx, min_inliers=8)
+            if bool(res.ok):
+                r_cw = np.asarray(res.r)
+                r_wb = r_cw.T @ self.r_cb          # R_cw = r_cb R_wb^T
+                c_w = -r_cw.T @ np.asarray(res.t)  # camera center, world
+                p = c_w - r_wb @ self.p_bc
+                self._set_slot_pose(slot, r_wb, p)
+                return
+        common = self.vis[prev] & self.vis[slot]
+        if common.sum() >= 8:
+            self._sfm_rng, k2 = jax.random.split(self._sfm_rng)
+            res = ransac_mod.essential_pose(
+                jnp.asarray(self.obs[prev]), jnp.asarray(self.obs[slot]),
+                jnp.asarray(common), k2)
+            if bool(res.ok):
+                r = np.asarray(res.r)              # R_c1<-c0
+                tdir = np.asarray(res.t)
+                r_wb0 = quat_to_matrix_np(np.asarray(st.q[prev]))
+                r_wc0 = r_wb0 @ self.r_cb.T
+                c0 = np.asarray(st.p[prev]) + r_wb0 @ self.p_bc
+                # |t| is unobservable: keep the IMU-predicted displacement
+                # magnitude (floored) — the first pair fixes the visual scale
+                scale = max(float(np.linalg.norm(
+                    np.asarray(st.p[slot]) - np.asarray(st.p[prev]))), 0.05)
+                r_wc1 = r_wc0 @ r.T
+                c1 = c0 + r_wc0 @ (-r.T @ tdir) * scale
+                r_wb1 = r_wc1 @ self.r_cb
+                p1 = c1 - r_wb1 @ self.p_bc
+                self._set_slot_pose(slot, r_wb1, p1)
+
+    def _set_slot_pose(self, slot: int, r_wb: np.ndarray, p: np.ndarray):
+        from ..geometry.hostmath import matrix_to_quat_np
+        st = self.state
+        q = matrix_to_quat_np(r_wb).astype(np.float32)
+        dtp = self.pre_list[slot - 1]
+        dt = float(dtp.dt) if dtp is not None else 0.5
+        v = (p - np.asarray(st.p[slot - 1])) / max(dt, 1e-3)
+        self.state = st._replace(
+            p=st.p.at[slot].set(jnp.asarray(p, jnp.float32)),
+            q=st.q.at[slot].set(jnp.asarray(q)),
+            v=st.v.at[slot].set(jnp.asarray(v, jnp.float32)))
 
     def _imu_init_attitude(self, acc: np.ndarray):
         """Gravity-aligned initial orientation (`server_utility.cpp` g2R)."""
@@ -296,11 +415,20 @@ class AgentFrontend:
                     continue
                 lm_slot = free[:1]
                 self.lm_id[lm_slot[0]] = fid
+                self._clear_prior_lm(int(lm_slot[0]))
             s_ = int(lm_slot[0])
             self.obs[slot, s_] = norm_xy[f]
             self.vis[slot, s_] = True
 
         self.state = st
+        # pre-VI-init the IMU dead-reckoned baseline is near zero (unknown
+        # initial velocity), which contradicts the image parallax and pushes
+        # every triangulation behind the cameras: replace the new slot's pose
+        # with a VISUAL estimate — PnP on existing landmarks when possible,
+        # otherwise essential-matrix decomposition (the VINS-Mono SfM
+        # initialization stage)
+        if not self.vi_initialized and self.kf_count > 0:
+            self._visual_pose_init(slot)
         self.n_in_window += 1
         self.kf_count += 1
 
@@ -325,11 +453,18 @@ class AgentFrontend:
                 jnp.asarray(self.obs), jnp.asarray(self.vis),
                 jnp.asarray(pts, jnp.float32),
                 jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
+            # pre-bootstrap the window's estimated baseline is IMU
+            # dead-reckoning from rest (near zero), so estimated parallax is
+            # tiny even for good landmarks: gate only on cheirality +
+            # residual until the VI alignment fixes the scale, then demand
+            # real parallax
+            min_par = np.deg2rad(1.0 if self.vi_initialized else 0.05)
+            min_d = 0.1 if self.vi_initialized else 1e-3
             good = (to_tri & np.asarray(oks)
                     & np.isfinite(pts).all(axis=1)
-                    & (np.asarray(md) > 0.1)
+                    & (np.asarray(md) > min_d)
                     & (np.asarray(mr) < 4.0 / self.cam.fx)
-                    & (np.asarray(par) > np.deg2rad(1.0)))
+                    & (np.asarray(par) > min_par))
             lm = np.array(self.state.lm)
             lm[good] = pts[good]
             lm_valid |= good
@@ -346,10 +481,14 @@ class AgentFrontend:
             if not self.vi_initialized and self.n_in_window >= min(5, w):
                 self._try_vi_bootstrap()
 
-        # packets only after visual-inertial initialization: pre-bootstrap
-        # window points are non-metric and would feed the server garbage
+        # packets only after visual-inertial initialization AND a short
+        # settle period: pre-bootstrap window points are non-metric, and the
+        # first post-bootstrap solves still carry the init transient
         # (VINS-Mono agents likewise publish only once initialized)
-        ready = self.initialized and self.vi_initialized
+        if self.vi_initialized:
+            self._post_boot += 1
+        ready = (self.initialized and self.vi_initialized
+                 and self._post_boot > self.cfg.publish_warmup)
         return self._emit_packet(timestamp, image) if ready else None
 
     def _try_vi_bootstrap(self):
@@ -398,8 +537,14 @@ class AgentFrontend:
             bg=jnp.tile(bg, (w, 1)),
             lm=rot(st.lm) * s)
         self.vi_initialized = True
+        # the bootstrap re-gauges (rotates + rescales) the whole window, so
+        # any prior linearized in the old gauge is invalid
+        self._prior = None
 
-    def _solve(self):
+    def _build_meas(self) -> ba.WindowMeasurements:
+        """WindowMeasurements over the current window, carrying the running
+        marginalization prior — shared by the solve and the marginalization
+        step so both linearize the same problem."""
         w = self.WINDOW
         # stack preintegrations (identity placeholder where missing)
         pres = []
@@ -417,14 +562,18 @@ class AgentFrontend:
                 pres.append(dummy)
         pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
         m0 = np.asarray(quat_to_matrix(self.state.q[0]))
-        meas = ba.WindowMeasurements(
+        return ba.WindowMeasurements(
             obs=jnp.asarray(self.obs), vis=jnp.asarray(self.vis),
             pre=pre, pre_valid=jnp.asarray(pre_valid),
             r_cb=jnp.asarray(self.r_cb), p_bc=jnp.asarray(self.p_bc),
-            pix_weight=float(self.cam.fx), huber_delta=5.0, bias_weight=10.0,
-            prior=None,
+            pix_weight=float(self.cam.fx), huber_delta=5.0,
+            bias_weight=float(self.cfg.bias_weight),
+            prior=self._prior,
             anchor_p=self.state.p[0],
             anchor_yaw=jnp.arctan2(m0[1, 0], m0[0, 0]))
+
+    def _solve(self):
+        meas = self._build_meas()
         iters = self.cfg.max_solver_iterations
         self.state, cost = ba.solve_window(self.state, meas, iters=iters)
         self._last_solved = float(cost)
@@ -447,7 +596,9 @@ class AgentFrontend:
             self.state.p, self.state.q, self.state.kf_valid,
             jnp.asarray(self.obs), jnp.asarray(self.vis), self.state.lm,
             jnp.asarray(self.r_cb), jnp.asarray(self.p_bc))
-        sane = (np.asarray(md) > 0.05) & (np.asarray(par) > np.deg2rad(0.5))
+        min_par = np.deg2rad(0.5 if self.vi_initialized else 0.02)
+        min_d = 0.05 if self.vi_initialized else 1e-3
+        sane = (np.asarray(md) > min_d) & (np.asarray(par) > min_par)
         self.state = self.state._replace(
             lm_valid=self.state.lm_valid & jnp.asarray(sane))
 

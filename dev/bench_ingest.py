@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Server ingest throughput: keyframes/second through add_keyframe.
+
+The reference's operating point is 4 agents x 10 Hz = 40 keyframes/s
+(`config/euroc/euroc_config.yaml:46`, 4-agent launch); the host-side server
+loop must sustain at least that. Measures the full ingestion path — BoW
+vector + query + candidate gates + (when candidates fire) the jitted
+match/F/PnP cascade — over ~1000 synthetic keyframes from 4 agents.
+
+Run: JAX_PLATFORMS=cpu PYTHONPATH= python dev/bench_ingest.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cvids_tpu.io import multiagent
+from cvids_tpu.io.synthetic import Trajectory
+from cvids_tpu.server import posegraph, vocab
+
+
+def main():
+    rng = np.random.default_rng(1)
+    n_lm = 600
+    landmarks = np.stack([rng.uniform(-16, 16, n_lm),
+                          rng.uniform(-16, 16, n_lm),
+                          rng.uniform(0.2, 4.0, n_lm)], -1)
+    descs = multiagent.landmark_descriptors(n_lm)
+    voc = vocab.train_vocabulary(descs, k=10, levels=3, seed=0)
+    agents = [multiagent.AgentSim(
+        Trajectory.circle(radius=5.0 + 0.4 * a, omega=0.45, phase=1.3 * a),
+        drift_yaw_rate=0.0004, drift_t_rate=0.002) for a in range(4)]
+    packets, _ = multiagent.generate_packets(
+        agents, landmarks, descs, duration=250.0, kf_rate=1.0, max_feats=60)
+    print(f"{len(packets)} packets from 4 agents")
+
+    server = posegraph.CollaborativePoseGraph(
+        voc, posegraph.ServerConfig(kf_capacity=2048, optimize_every=10 ** 9))
+    # warm the jits on the first few packets
+    for _, _, _, pkt in packets[:16]:
+        server.add_keyframe(pkt)
+    t0 = time.perf_counter()
+    for _, _, _, pkt in packets[16:]:
+        server.add_keyframe(pkt)
+    dt = time.perf_counter() - t0
+    n = len(packets) - 16
+    print(f"ingest: {n} keyframes in {dt:.1f} s = {n / dt:.1f} kf/s "
+          f"(target >= 40; loops found: {server.loop_count})")
+    t0 = time.perf_counter()
+    server.optimize()
+    print(f"optimize() over {server.store.count} KFs: "
+          f"{time.perf_counter() - t0:.2f} s")
+
+
+if __name__ == "__main__":
+    main()

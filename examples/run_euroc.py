@@ -75,7 +75,12 @@ def main(argv=None):
 
     descs = np.concatenate([p.ext_desc[p.ext_valid]
                             for pkts in all_packets for p in pkts[:40]])
-    voc = vocab.train_vocabulary(descs[:5000], k=10, levels=3, seed=0)
+    # image-scale default: a 10^4-word tree vocabulary through the sparse
+    # inverted-index database — the reference's operating regime
+    # (brief_k10L6.bin at 10^6 words; `server_pose_graph.cpp:978`). Pass a
+    # dense trained vocabulary instead for tiny synthetic worlds.
+    voc = vocab.tree_from_trained(
+        vocab.train_vocabulary(descs[:5000], k=10, levels=4, seed=0))
     # the reference's PnP threshold is 10 px at EuRoC's ~460 focal
     # (`server_keyframe.cpp:418-497`); keep the same *pixel* tolerance on
     # whatever camera the agents actually carry

@@ -65,8 +65,12 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         root = str(tmp_path / f"agent{cid}")
+        # speed modulation keeps metric scale observable (a constant-rate
+        # circle lets an acc bias absorb the centripetal term — see
+        # Trajectory.circle docstring)
         traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
-                                           height_amp=0.2, phase=phase)
+                                           height_amp=0.2, phase=phase,
+                                           speed_mod=0.3, speed_mod_freq=0.9)
         euroc_synth.write_euroc_sequence(root, cfg=cfg, trajectory=traj,
                                          duration=7.0, cam_rate=2.0,
                                          imu_rate=200.0, num_landmarks=1000,

@@ -17,8 +17,12 @@ def test_frontend_tracks_trajectory(rng):
                       min_feature_dist=24, max_solver_iterations=10)
     fe = AgentFrontend(cfg, client_id=0)
 
+    # speed-modulated circle: constant-rate circular motion is a VI scale
+    # degeneracy (body-frame-constant centripetal acceleration is
+    # indistinguishable from an acc bias; see Trajectory.circle docstring)
     traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
-                                       height_amp=0.2)
+                                       height_amp=0.2,
+                                       speed_mod=0.3, speed_mod_freq=0.9)
     duration, kf_rate, imu_rate = 6.0, 2.0, 200.0
     seq = synthetic.generate_sequence(traj, duration=duration, kf_rate=kf_rate,
                                       imu_rate=imu_rate, num_landmarks=0,
@@ -57,19 +61,21 @@ def test_frontend_tracks_trajectory(rng):
             est.append(pkt.p_wb)
             gt.append(seq.p_gt[i])
 
-    # packets start once the visual-inertial bootstrap locks (~frame 4);
-    # every frame after that must emit
+    # packets start once the visual-inertial bootstrap locks (~frame 4) and
+    # the publish warm-up passes; every frame after that must emit
     assert fe.vi_initialized, "VI bootstrap never locked"
-    assert len(packets) >= k - 5, "frontend failed to initialize"
+    assert len(packets) >= k - 7, "frontend failed to initialize"
     est = np.asarray(est)
     gt = np.asarray(gt)
     from cvids_tpu.utils.metrics import umeyama
     err = ate_rmse(est, gt, align="sim3")
-    assert err < 1.0, err
+    assert err < 0.25, err
     s, _, _ = umeyama(est, gt, with_scale=True)
     assert 0.5 < s < 2.0, s  # metric scale recovered to the right ballpark
     # packets carry usable content
     last = packets[-1]
-    assert last.win_pts3d.shape[0] >= 8
+    # this scene is deliberately sparse (400 landmarks, min_dist 24): the
+    # geometry-gated packet still must carry a usable handful of 3-D points
+    assert last.win_pts3d.shape[0] >= 5
     assert last.ext_desc.shape[1] == 8
     assert last.win_desc.dtype == np.uint32

@@ -192,3 +192,36 @@ def test_store_and_loop_growth(world):
     assert st.local_index[19] == 19 and st.client[19] == 0
     # empty index-like slots stay -1
     assert (st.client[20:] == -1).all()
+
+
+def test_server_with_tree_vocabulary(world):
+    """The live server runs against a TreeVocabulary + SparseBowDatabase at
+    >= 10^4 words (the reference's k=10 L=6 scale path,
+    `TemplatedDatabase.h:607-728` via `server_pose_graph.cpp:978`), not just
+    the dense toy-vocabulary path."""
+    landmarks, descs, voc = world
+    from cvids_tpu.server.vocab import (SparseBowDatabase, tree_from_trained,
+                                        train_vocabulary)
+    # k=10, levels=4 -> 10^4 words, trained on the same descriptor corpus
+    big = train_vocabulary(descs, k=10, levels=4, seed=1)
+    tree = tree_from_trained(big)
+    assert tree.num_words >= 10 ** 4
+    agents = [
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.45,
+                                              center=(0.0, 0.0, 1.5))),
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.45,
+                                              phase=1.5,
+                                              center=(2.0, 1.0, 1.5)),
+                            yaw_offset=0.4, t_offset=np.array([2.0, -1.0, 0.3])),
+    ]
+    packets, gt = multiagent.generate_packets(
+        agents, landmarks, descs, duration=20.0, kf_rate=1.0, max_feats=60)
+    server = posegraph.CollaborativePoseGraph(tree, small_config())
+    assert isinstance(server.db, SparseBowDatabase)
+    for _, cid, ki, pkt in packets:
+        server.add_keyframe(pkt)
+    server.optimize()
+    assert server.loop_count > 0, "tree-vocab path found no loops"
+    assert server.clients[1].aligned, "client 1 never aligned (tree vocab)"
+    ate1, n1 = ate(server, gt, 1)
+    assert ate1 < 0.3, ate1

@@ -141,14 +141,18 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
     # In bf16 mode the matmul operands and the (D, H, W) intermediates are
     # bf16 (weight quantization ≈ 0.4 % ⇒ sub-intensity-level error); the
     # MXU accumulates in fp32 either way.
+    # The interpolation matrices are banded hat functions — every output
+    # element sums at most TWO nonzero products — so accumulating directly
+    # in the storage dtype is numerically safe and avoids materializing the
+    # (2, D, H, W) intermediates in fp32 (an extra full-volume HBM round
+    # trip each; the sweep is bandwidth-bound).
     cdt = f32 if out_dtype is None else out_dtype
     stack = jnp.stack([meas_cov, cov_pw]).astype(cdt)            # (2, H, W)
     rowp = jnp.einsum("chw,dpw->cdhp", stack, wx.astype(cdt),
-                      preferred_element_type=f32)                # (2, D, H, W)
-    rowp = rowp.astype(cdt)
+                      preferred_element_type=cdt)                # (2, D, H, W)
     swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy.astype(cdt),
-                       preferred_element_type=f32)               # (2, D, H, W)
-    num_i, cov = swept[0].astype(cdt), swept[1].astype(cdt)
+                       preferred_element_type=cdt)               # (2, D, H, W)
+    num_i, cov = swept[0], swept[1]
     valid = (cov > 0.99) & depth_ok[:, None, None]
     warped = jnp.where(valid, num_i / jnp.maximum(cov, jnp.asarray(1e-3, cdt)),
                        jnp.asarray(jnp.nan, cdt))

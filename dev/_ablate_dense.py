@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Ablation profile of the fused dense step on the real TPU: time cumulative
 prefixes of the pipeline (sweep -> +accumulate -> +sgm -> +wta -> +filter)
 inside one jitted scan each, so stage costs are measured in their fused

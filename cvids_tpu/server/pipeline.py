@@ -72,6 +72,11 @@ class CollaborativeServer:
         self.depth_maps_published = 0
         self._client_k: dict[int, np.ndarray] = {}
         self._undistort_grid: dict[int, np.ndarray] = {}
+        self._loop_overlay_pair: tuple | None = None
+        # per-KF decimated thumbnails survive FreeSpace (the reference
+        # plotter keeps downscaled copies for its loop-match image); a few
+        # KB each, so they are kept for the whole run
+        self.thumbs: dict[int, tuple[np.ndarray, int]] = {}
 
     # ---------- ingestion ----------
 
@@ -97,6 +102,16 @@ class CollaborativeServer:
         idx = info["index"]
         if pkt.image is not None:
             self.images[idx] = pkt.image
+            img = np.asarray(pkt.image)
+            step = max(1, img.shape[1] // 160)
+            self.thumbs[idx] = (img[::step, ::step].astype(np.float32), step)
+        if info.get("loop") and pkt.image is not None:
+            # keep the thumbnail pair of the most recent accepted loop for
+            # the match-overlay diagnostic (full frames are dropped by
+            # FreeSpace; the reference plotter likewise keeps small copies)
+            old = self.thumbs.get(info["loop_with"])
+            if old is not None:
+                self._loop_overlay_pair = (self.thumbs[idx], old)
         if cfg.dense_enabled and pkt.image is not None:
             with self.tracer.span("depth"):
                 self._dense_step(pkt, idx, info)
@@ -306,3 +321,26 @@ class CollaborativeServer:
 
     def trajectory(self, cid: int):
         return self.graph.trajectory(cid)
+
+    def save_loop_overlay(self, path: str) -> bool:
+        """Render the most recent accepted loop closure as a side-by-side
+        match image (the reference plotter's loop diagnostic,
+        `server_plotter.h:612-691`). Returns False if no loop with retained
+        images has been seen (or matplotlib is unavailable)."""
+        loop = self.graph.last_loop
+        if loop is None or self._loop_overlay_pair is None:
+            return False
+        from ..utils.visualization import save_loop_match_overlay
+        (img_new, s_new), (img_old, s_old) = self._loop_overlay_pair
+
+        def scaled_k(cid, s):
+            k = self._client_k.get(cid)
+            if k is None:
+                return None
+            return np.diag([1.0 / s, 1.0 / s, 1.0]) @ k
+
+        cj = int(self.graph.store.client[loop["j"]])
+        ci = int(self.graph.store.client[loop["i"]])
+        return save_loop_match_overlay(
+            path, img_new, img_old, loop,
+            k_new=scaled_k(cj, s_new), k_old=scaled_k(ci, s_old))

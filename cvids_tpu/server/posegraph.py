@@ -326,7 +326,7 @@ class CollaborativePoseGraph:
         pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
 
         self._rng_key, key = jax.random.split(self._rng_key)
-        res, m, _ = _match_and_pnp(
+        res, m, keep = _match_and_pnp(
             jnp.asarray(st.win_desc[j]), jnp.asarray(st.win_valid[j]),
             jnp.asarray(st.win_uv[j]), jnp.asarray(pts_cam, jnp.float32),
             jnp.asarray(st.ext_desc[i]), jnp.asarray(st.ext_valid[i]),
@@ -363,7 +363,16 @@ class CollaborativePoseGraph:
         if np.linalg.norm(t_ij) > cfg.max_loop_t:
             self._fc_fail = ("t_gate", float(np.linalg.norm(t_ij)))
             return None
-        self.last_loop = {"i": i, "j": j, "inliers": int(res.num_inliers)}
+        # diagnostic record for the match-overlay render (the reference
+        # plotter's side-by-side loop image, `server_plotter.h:612-691`)
+        midx = np.asarray(m.indices)
+        self.last_loop = {
+            "i": i, "j": j, "inliers": int(res.num_inliers),
+            "uv_j": st.win_uv[j].copy(),                # (M, 2) normalized
+            "uv_i": st.ext_uv[i][midx].copy(),          # matched old-KF uv
+            "inlier_mask": np.asarray(res.inliers),
+            "match_mask": np.asarray(keep),
+        }
         return {"t_ij": t_ij.astype(np.float32), "yaw_ij": rel_yaw,
                 "q_bibj": q_bibj, "num_inliers": int(res.num_inliers)}
 

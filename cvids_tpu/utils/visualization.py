@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_trajectories", "plot_mesh_preview", "save_frame_mosaic"]
+__all__ = ["plot_trajectories", "plot_mesh_preview", "save_frame_mosaic",
+           "save_loop_match_overlay"]
 
 _CLIENT_COLORS = ["tab:blue", "tab:orange", "tab:green", "tab:red",
                   "tab:purple", "tab:brown", "tab:pink", "tab:gray",
@@ -84,6 +85,66 @@ def plot_mesh_preview(path: str, verts: np.ndarray, max_tris: int = 20000) -> bo
     ax.scatter(cent[:, 0], cent[:, 1], cent[:, 2], s=0.3, c=cent[:, 2],
                cmap="viridis")
     ax.set_title(f"{len(verts)} triangles")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def save_loop_match_overlay(path: str, img_new, img_old, loop: dict,
+                            k_new: np.ndarray | None = None,
+                            k_old: np.ndarray | None = None) -> bool:
+    """Side-by-side render of an accepted loop closure with match lines —
+    the reference plotter's loop-match image (`server_plotter.h:612-691`:
+    hconcat of the two keyframes, inlier matches drawn across).
+
+    loop: `CollaborativePoseGraph.last_loop` (uv_j/uv_i are normalized
+    camera coordinates; pass the intrinsics `k_new`/`k_old` to place them on
+    the images — defaults to a centered pinhole with f = 0.9 * width).
+    Green lines: PnP inliers; red dots: matches rejected by the cascade.
+    """
+    plt = _mpl()
+    if plt is None or img_new is None or img_old is None or loop is None:
+        return False
+
+    def to_px(uv, img, k):
+        uv = np.asarray(uv, np.float64)
+        h, w = img.shape[:2]
+        if k is None:
+            f = 0.9 * w
+            k = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1.0]])
+        return uv * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
+
+    img_new = np.asarray(img_new)
+    img_old = np.asarray(img_old)
+    px_n = to_px(loop["uv_j"], img_new, k_new)
+    px_o = to_px(loop["uv_i"], img_old, k_old)
+    h = max(img_new.shape[0], img_old.shape[0])
+    w0 = img_new.shape[1]
+    canvas = np.zeros((h, w0 + img_old.shape[1]), np.float32)
+    canvas[:img_new.shape[0], :w0] = img_new
+    canvas[:img_old.shape[0], w0:] = img_old
+    inl = np.asarray(loop["inlier_mask"], bool)
+    cand = np.asarray(loop.get("match_mask", np.ones_like(inl)), bool)
+    # only draw matches whose endpoints land inside both frames
+    inside = ((px_n[:, 0] >= 0) & (px_n[:, 0] < img_new.shape[1])
+              & (px_n[:, 1] >= 0) & (px_n[:, 1] < img_new.shape[0])
+              & (px_o[:, 0] >= 0) & (px_o[:, 0] < img_old.shape[1])
+              & (px_o[:, 1] >= 0) & (px_o[:, 1] < img_old.shape[0]))
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.imshow(canvas, cmap="gray")
+    for sel, color, lw in ((cand & ~inl & inside, "tab:red", 0.0),
+                           (inl & inside, "lime", 0.7)):
+        for a, b in zip(px_n[sel], px_o[sel]):
+            if lw > 0:
+                ax.plot([a[0], b[0] + w0], [a[1], b[1]], "-", color=color,
+                        lw=lw, alpha=0.8)
+            ax.plot([a[0]], [a[1]], ".", color=color, ms=2.5)
+            ax.plot([b[0] + w0], [b[1]], ".", color=color, ms=2.5)
+    ax.set_xlim(-0.5, canvas.shape[1] - 0.5)
+    ax.set_ylim(canvas.shape[0] - 0.5, -0.5)
+    ax.set_title(f"loop {loop['j']} -> {loop['i']}: "
+                 f"{int(inl.sum())} inliers", fontsize=9)
+    ax.axis("off")
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return True

@@ -94,10 +94,26 @@ pos_x = (u[None, :] + (cc[0] * rho)[:, None]) * s[:, None]
 pos_y = (v[None, :] + (cc[1] * rho)[:, None]) * s[:, None]
 
 def matmul_step(c):
-    wx = _interp_matrix(pos_x + c[0, 0, 0] * 1e-9, W)
+    wx = _interp_matrix(pos_x + c[0, 0, 0].astype(jnp.float32) * 1e-9, W)
     wy = _interp_matrix(pos_y, H)
     stack = jnp.stack([meas, jnp.ones_like(meas)])
     rowp = jnp.einsum("chw,dpw->cdhp", stack, wx, preferred_element_type=jnp.float32)
     swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy, preferred_element_type=jnp.float32)
+    return jnp.moveaxis(swept[0], 0, -1).astype(c.dtype)
+bench("sweep_matmuls_f32", matmul_step, cost0)
+
+def matmul_step_bf16(c):
+    wx = _interp_matrix(pos_x + c[0, 0, 0].astype(jnp.float32) * 1e-9, W).astype(jnp.bfloat16)
+    wy = _interp_matrix(pos_y, H).astype(jnp.bfloat16)
+    stack = jnp.stack([meas, jnp.ones_like(meas)]).astype(jnp.bfloat16)
+    rowp = jnp.einsum("chw,dpw->cdhp", stack, wx, preferred_element_type=jnp.bfloat16)
+    swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy, preferred_element_type=jnp.bfloat16)
     return jnp.moveaxis(swept[0], 0, -1)
-bench("sweep_matmuls", matmul_step, cost0)
+bench("sweep_matmuls_bf16", matmul_step_bf16, cost0)
+
+# interp-matrix build alone (two (D, N, N) hat-weight tensors = 92 MB bf16)
+def interp_step(c):
+    wx = _interp_matrix(pos_x + c[0, 0, 0].astype(jnp.float32) * 1e-9, W)
+    wy = _interp_matrix(pos_y, H)
+    return c + (jnp.sum(wx) + jnp.sum(wy)).astype(c.dtype) * 1e-12
+bench("interp_matrix_build", interp_step, cost0)

@@ -165,6 +165,32 @@ def test_visualization_outputs(tmp_path, rng):
     assert ok3 == ok
 
 
+def test_loop_match_overlay(tmp_path, rng):
+    """The loop-match side-by-side diagnostic (reference
+    `server_plotter.h:612-691`) renders from a `last_loop` record."""
+    import os
+
+    from cvids_tpu.utils import visualization as viz
+
+    m = 20
+    loop = {
+        "i": 3, "j": 11,
+        "uv_j": rng.uniform(-0.4, 0.4, (m, 2)).astype(np.float32),
+        "uv_i": rng.uniform(-0.4, 0.4, (m, 2)).astype(np.float32),
+        "inlier_mask": rng.uniform(size=m) > 0.4,
+        "match_mask": np.ones(m, bool),
+        "inliers": 12,
+    }
+    img_new = rng.uniform(0, 255, (48, 64)).astype(np.float32)
+    img_old = rng.uniform(0, 255, (48, 64)).astype(np.float32)
+    p = str(tmp_path / "loop.png")
+    ok = viz.save_loop_match_overlay(p, img_new, img_old, loop)
+    if ok:
+        assert os.path.getsize(p) > 1000
+    # missing inputs degrade cleanly
+    assert viz.save_loop_match_overlay(p, None, img_old, loop) is False
+
+
 def test_scaramuzza_roundtrip(rng):
     """OCam model: project(lift(px)) returns the pixel; lift(project(P)) is
     parallel to P (reference OCAMCamera conventions)."""

@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -91,7 +93,7 @@ def test_full_pipeline_dense_to_mesh(tmp_path, rng):
     assert "ingest" in rep and "depth" in rep
 
 
-def test_disturbance_injection(rng):
+def test_disturbance_injection(rng, tmp_path):
     """AddDisturbance fires once the store reaches the threshold."""
     n_lm = 60
     landmarks = np.stack([rng.uniform(-10, 10, n_lm), rng.uniform(-10, 10, n_lm),
@@ -111,8 +113,16 @@ def test_disturbance_injection(rng):
     for _, _, ki, pkt in packets:
         if server.graph.store.count == 10 and server.graph.loop_count > 0:
             yaw_before = server.graph.loop_yaw[:server.graph.loop_count].copy()
-        server.submit(pkt)
+        # tiny images so the loop-overlay diagnostic path is exercised
+        server.submit(dataclasses.replace(pkt, image=rng.uniform(0, 255, (24, 32))))
         server.process()
     if yaw_before is not None and len(yaw_before):
         after = server.graph.loop_yaw[:len(yaw_before)]
         assert np.allclose(after - yaw_before, np.deg2rad(0.2), atol=1e-6)
+    if server.graph.last_loop is not None:
+        assert server._loop_overlay_pair is not None
+        p = str(tmp_path / "loop_overlay.png")
+        ok = server.save_loop_overlay(p)
+        if ok:
+            import os
+            assert os.path.getsize(p) > 1000

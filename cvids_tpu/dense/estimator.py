@@ -70,7 +70,7 @@ class DenseState(NamedTuple):
     grad: jax.Array         # (H, W) gradient magnitude of ref
     mean_cost: jax.Array    # (H, W, D) running-mean AD cost
     count: jax.Array        # (H, W, D) measurement counts
-    sparse_bias: jax.Array  # (H, W, D) additive cost bias from sparse depths
+    sparse_bias: jax.Array | None  # (H, W, D) cost bias from sparse depths (None = no landmarks)
     penalty: jax.Array      # (H, W) per-pixel SGM penalty modulation
     filt: depth_filter.FilterState
     num_frames: jax.Array   # () int32
@@ -85,7 +85,10 @@ def init_reference(cfg: DenseConfig, ref_img: jax.Array,
     h, w, d = cfg.height, cfg.width, cfg.num_depths
     dt = cfg.jdtype
     ref_img = ref_img.astype(jnp.float32)
-    bias = jnp.zeros((h, w, d), dt)
+    # No sparse landmarks -> bias is None (an empty pytree node), so
+    # `fuse_measurement` skips the full-volume bias read+add entirely
+    # instead of streaming a (H, W, D) zero volume from HBM every frame.
+    bias = None
     if sparse_uv is not None:
         bias = splat_sparse(cfg, sparse_uv, sparse_inv_depth,
                             sparse_valid).astype(dt)
@@ -175,7 +178,9 @@ def fuse_measurement(cfg: DenseConfig, state: DenseState, meas_img: jax.Array,
     # SGM input: unobserved hypotheses get a high constant so they can't win
     observed = count > 0
     total = jnp.where(observed, mean_cost,
-                      jnp.asarray(50.0, mean_cost.dtype)) + state.sparse_bias
+                      jnp.asarray(50.0, mean_cost.dtype))
+    if state.sparse_bias is not None:
+        total = total + state.sparse_bias
     inv_depth, conf = sgm.sgm_depth(total, state.grad.astype(total.dtype),
                                     inv_depths,
                                     valid_count=jnp.sum(observed, -1),

@@ -226,11 +226,14 @@ def _sgm_bidir_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
     update(carry_b, cb_ref, pb_ref, ob_ref, rev=True)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "summed"))
 def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
-                   interpret: bool = False) -> jax.Array:
-    """Forward+backward SGM aggregation along axis 0 of (S, X, D) cost,
-    returned pre-summed (same contract as `ops.sgm._scan_bidir`).
+                   interpret: bool = False, summed: bool = True):
+    """Forward+backward SGM aggregation along axis 0 of (S, X, D) cost.
+
+    Returns out_f + out_b when `summed` (the `ops.sgm._scan_bidir` contract),
+    else the (out_f, out_b) pair unsummed — a fused consumer (the WTA kernel)
+    can then do the add in registers, saving a full-volume HBM pass.
 
     p2_eff: (S, X); p1: scalar. D must be a multiple of 128 and X a multiple
     of the dtype tile (8 fp32 / 16 bf16) for clean lane/sublane tiling.
@@ -259,7 +262,83 @@ def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
         scratch_shapes=[pltpu.VMEM((x, d), jnp.float32)] * 2,
         interpret=interpret,
     )(p1_arr, cost, cost, p2_blk, p2_blk)
-    return out_f + out_b
+    return out_f + out_b if summed else (out_f, out_b)
+
+
+def _sgm_bidir_axis1_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
+                            of_ref, ob_ref, carry_f, carry_b):
+    """Twin of `_sgm_bidir_kernel` scanning axis 1 of an (H, W, D) volume:
+    the block is (H, u, D) and the carry (H, D), so the horizontal SGM
+    orientation runs directly on the row-major volume — no (H, W, D) ->
+    (W, H, D) transpose in or out (two full-volume HBM passes saved)."""
+    i = pl.program_id(0)
+    p1 = p1_ref[0, 0]
+    big = jnp.float32(3.0e38)
+    u = cf_ref.shape[1]
+
+    def update(carry_ref, c_ref, p2_ref, out_ref, rev):
+        for k in range(u):
+            kk = u - 1 - k if rev else k
+            c = c_ref[:, kk].astype(jnp.float32)                # (H, D)
+            p2 = p2_ref[kk].astype(jnp.float32)[:, None]        # (H, 1)
+            first = (i == 0) & (k == 0)
+
+            @pl.when(first)
+            def _init():
+                carry_ref[:] = c
+                out_ref[:, kk] = c.astype(out_ref.dtype)
+
+            @pl.when(~first)
+            def _step():
+                l_prev = carry_ref[:]
+                h = l_prev.shape[0]
+                pad = jnp.full((h, 1), big, jnp.float32)
+                sp = jnp.concatenate([pad, l_prev[:, :-1]], axis=1)
+                sm = jnp.concatenate([l_prev[:, 1:], pad], axis=1)
+                min_prev = jnp.min(l_prev, axis=-1, keepdims=True)
+                cand = jnp.minimum(
+                    l_prev,
+                    jnp.minimum(jnp.minimum(sp, sm) + p1, min_prev + p2))
+                l_new = c + cand - min_prev
+                carry_ref[:] = l_new
+                out_ref[:, kk] = l_new.astype(out_ref.dtype)
+
+    update(carry_f, cf_ref, pf_ref, of_ref, rev=False)
+    update(carry_b, cb_ref, pb_ref, ob_ref, rev=True)
+
+
+@partial(jax.jit, static_argnames=("interpret", "summed"))
+def sgm_scan_bidir_axis1(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
+                         interpret: bool = False, summed: bool = True):
+    """Forward+backward SGM aggregation along axis 1 of (H, W, D) cost
+    (left->right + right->left on the natural layout). p2_eff: (H, W)."""
+    h, w, d = cost.shape
+    u = _SGM_UNROLL if w % _SGM_UNROLL == 0 else 1
+    nb = w // u
+    p1_arr = jnp.asarray(p1, jnp.float32).reshape(1, 1)
+    # p2 rides as (W, H) so its (u, H) blocks satisfy the lane-dim tiling
+    # rule (last dim == full array dim); the transpose is image-sized, cheap
+    p2_t = p2_eff.T
+
+    out_f, out_b = pl.pallas_call(
+        _sgm_bidir_axis1_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, u, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((h, u, d), lambda i: (0, nb - 1 - i, 0)),
+            pl.BlockSpec((u, h), lambda i: (i, 0)),
+            pl.BlockSpec((u, h), lambda i: (nb - 1 - i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((h, u, d), lambda i: (0, i, 0)),
+            pl.BlockSpec((h, u, d), lambda i: (0, nb - 1 - i, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((h, w, d), cost.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((h, d), jnp.float32)] * 2,
+        interpret=interpret,
+    )(p1_arr, cost, cost, p2_t, p2_t)
+    return out_f + out_b if summed else (out_f, out_b)
 
 
 # ---------------------------------------------------------------------------
@@ -275,8 +354,11 @@ def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
 # (the reference's `filterCostKernel`, `calc_cost.cu:235-283`).
 
 
-def _wta_kernel(a_ref, b_ref, idx_ref, conf_ref, *, d, peak_ratio):
-    x = a_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+def _wta_kernel(*refs, d, peak_ratio):
+    *in_refs, idx_ref, conf_ref = refs
+    x = in_refs[0][:].astype(jnp.float32)
+    for r in in_refs[1:]:
+        x = x + r[:].astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
     c0 = jnp.min(x, axis=-1)
     is_min = x == c0[..., None]
@@ -308,13 +390,13 @@ def _wta_tiles(h: int, w: int, d: int, itemsize: int) -> tuple[int, int] | None:
     if d % 128 != 0:
         return None
     sub = 16 if itemsize == 2 else 8
-    budget = 6 * 2 ** 20           # ~10 fp32 tiles must fit well under 16 MB
+    budget = 6 * 2 ** 20        # ~12 fp32 tiles must fit well under 16 MB
     best = None
     for tw in (512, 256, 128, 64, 32, 16, 8):
         if tw % sub != 0 or w % tw != 0:
             continue
         for th in (32, 16, 8, 4, 2, 1):
-            if h % th != 0 or 10 * th * tw * d * 4 > budget:
+            if h % th != 0 or 12 * th * tw * d * 4 > budget:
                 continue
             if best is None or th * tw > best[0] * best[1]:
                 best = (th, tw)
@@ -323,15 +405,15 @@ def _wta_tiles(h: int, w: int, d: int, itemsize: int) -> tuple[int, int] | None:
 
 
 @partial(jax.jit, static_argnames=("peak_ratio", "interpret"))
-def wta_pallas(vol_a: jax.Array, vol_b: jax.Array,
-               peak_ratio: float = 0.98,
+def wta_pallas(*vols: jax.Array, peak_ratio: float = 0.98,
                interpret: bool = False) -> tuple[jax.Array, jax.Array]:
-    """WTA over the summed volume `vol_a + vol_b` (both (H, W, D)) in one
-    pass. Returns (idx_f (H, W) float32, conf (H, W) bool) with the same
-    semantics as `ops.sgm.wta_depth` (minus the valid_count gate, applied by
-    the caller on (H, W) maps)."""
-    h, w, d = vol_a.shape
-    tiles = _wta_tiles(h, w, d, vol_a.dtype.itemsize)
+    """WTA over the summed volume `sum(vols)` (each (H, W, D)) in one pass
+    — the directional SGM aggregates are added in registers here, never
+    materialized summed in HBM. Returns (idx_f (H, W) float32, conf (H, W)
+    bool) with the same semantics as `ops.sgm.wta_depth` (minus the
+    valid_count gate, applied by the caller on (H, W) maps)."""
+    h, w, d = vols[0].shape
+    tiles = _wta_tiles(h, w, d, vols[0].dtype.itemsize)
     assert tiles is not None, f"unsupported WTA shape {(h, w, d)}"
     th, tw = tiles
     grid = (h // th, w // tw)
@@ -342,10 +424,10 @@ def wta_pallas(vol_a: jax.Array, vol_b: jax.Array,
     idx_f, conf = pl.pallas_call(
         partial(_wta_kernel, d=d, peak_ratio=peak_ratio),
         grid=grid,
-        in_specs=[in_spec, in_spec],
+        in_specs=[in_spec] * len(vols),
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((h, w), jnp.float32),
                    jax.ShapeDtypeStruct((h, w), jnp.int32)),
         interpret=interpret,
-    )(vol_a, vol_b)
+    )(*vols)
     return idx_f, conf != 0

@@ -105,10 +105,13 @@ def sgm_aggregate(cost: jax.Array, grad: jax.Array,
     per-pixel `0.8 + 1.5 mean³/(1+|∇|³)` map from `InitReference`,
     `sgm_stereo_mapper.cpp:55-123`).
     """
-    pa, pb = sgm_aggregate_parts(cost, grad, pi1=pi1, pi2=pi2, tau_so=tau_so,
-                                 q1=q1, q2=q2, penalty_scale=penalty_scale,
-                                 use_pallas=use_pallas)
-    return pa + pb
+    parts = sgm_aggregate_parts(cost, grad, pi1=pi1, pi2=pi2, tau_so=tau_so,
+                                q1=q1, q2=q2, penalty_scale=penalty_scale,
+                                use_pallas=use_pallas)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
 
 
 def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
@@ -116,11 +119,12 @@ def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
                         tau_so: float = 8.0, q1: float = 1.0, q2: float = 1.0,
                         penalty_scale: jax.Array | None = None,
                         use_pallas: bool | None = None
-                        ) -> tuple[jax.Array, jax.Array]:
-    """The two halves of `sgm_aggregate` — (horizontal L→R+R→L, vertical
-    T→B+B→T), both (H, W, D) and not yet summed, so a fused consumer (the
-    Pallas WTA kernel) can do the final add in registers instead of an extra
-    full-volume HBM pass."""
+                        ) -> tuple[jax.Array, ...]:
+    """The directional parts of `sgm_aggregate`, not yet summed, so a fused
+    consumer (the Pallas WTA kernel) can do the final add in registers
+    instead of extra full-volume HBM passes. On the Pallas path this is the
+    four directions (L→R, R→L, T→B, B→T); on the lax.scan fallback the two
+    bidirectional halves. All (H, W, D)."""
     big_jump = grad > tau_so
     p2_map = jnp.where(big_jump, pi2 / q2, pi2).astype(cost.dtype)
     p1_map = jnp.where(big_jump, pi1 / q1, pi1).astype(cost.dtype)
@@ -131,20 +135,23 @@ def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
     # p1 via broadcasting inside the scan by folding it into p2_eff's shape.
     h, w, d = cost.shape
 
-    # left->right + right->left (one scan over W, arranged as (W, H, D)),
-    # then top->bottom + bottom->top (one scan over H)
-    c_lr = jnp.moveaxis(cost, 1, 0)
-    p2_lr = p2_map.T  # (W, H)
+    # left->right + right->left (one scan over W), then top->bottom +
+    # bottom->top (one scan over H)
     p1_s = jnp.mean(p1_map)  # P1 is effectively constant in the reference
     if use_pallas is None:
         use_pallas = _pallas_ok(cost)
     if use_pallas:
-        from .pallas_kernels import sgm_scan_bidir
-        part_h = jnp.moveaxis(sgm_scan_bidir(c_lr, p2_lr, p1_s), 0, 1)
-        part_v = sgm_scan_bidir(cost, p2_map, p1_s)
-    else:
-        part_h = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
-        part_v = _scan_bidir(cost, p1_s, p2_map)
+        # the axis-1 kernel scans the horizontal orientation on the natural
+        # (H, W, D) layout — no volume transposes; outputs stay unsummed for
+        # the fused WTA consumer
+        from .pallas_kernels import sgm_scan_bidir, sgm_scan_bidir_axis1
+        h_f, h_b = sgm_scan_bidir_axis1(cost, p2_map, p1_s, summed=False)
+        v_f, v_b = sgm_scan_bidir(cost, p2_map, p1_s, summed=False)
+        return h_f, h_b, v_f, v_b
+    c_lr = jnp.moveaxis(cost, 1, 0)
+    p2_lr = p2_map.T  # (W, H)
+    part_h = jnp.moveaxis(_scan_bidir(c_lr, p1_s, p2_lr), 0, 1)
+    part_v = _scan_bidir(cost, p1_s, p2_map)
     return part_h, part_v
 
 
@@ -201,15 +208,15 @@ def sgm_depth(cost: jax.Array, grad: jax.Array, inv_depths: jax.Array,
     subpixel parabola always runs fp32. On TPU the two aggregate halves feed
     the fused Pallas WTA kernel directly (one volume read, no fp32
     materialization)."""
-    part_h, part_v = sgm_aggregate_parts(cost, grad, **kw)
+    parts = sgm_aggregate_parts(cost, grad, **kw)
     from .pallas_kernels import _wta_tiles, wta_pallas
     if (_pallas_ok(cost) and kw.get("use_pallas") is not False
             and _wta_tiles(*cost.shape, cost.dtype.itemsize) is not None):
-        idx_f, conf = wta_pallas(part_h, part_v)
+        idx_f, conf = wta_pallas(*parts)
         if valid_count is not None:
             conf = conf & (valid_count >= min_count)
     else:
-        agg = (part_h + part_v).astype(jnp.float32)
+        agg = sum(p.astype(jnp.float32) for p in parts)
         idx_f, conf = wta_depth(agg, valid_count, min_count)
     d = inv_depths.shape[0]
     step = inv_depths[1] - inv_depths[0]

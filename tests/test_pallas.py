@@ -104,3 +104,32 @@ def test_wta_pallas_bf16_inputs(rng):
     np.testing.assert_allclose(np.asarray(idx), np.asarray(ref_idx),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))
+
+
+def test_sgm_axis1_and_variadic_wta(rng):
+    """The transpose-free axis-1 SGM kernel == the lax.scan horizontal
+    orientation, and the 4-volume WTA == XLA WTA on the full sum — the
+    production TPU path (`sgm_depth` with unsummed directional parts)."""
+    from cvids_tpu.ops import sgm
+    from cvids_tpu.ops.pallas_kernels import (sgm_scan_bidir,
+                                              sgm_scan_bidir_axis1,
+                                              wta_pallas)
+
+    h, w, d = 16, 32, 128
+    cost = jnp.asarray(rng.uniform(0, 50, (h, w, d)), jnp.float32)
+    p2 = jnp.asarray(rng.uniform(30, 90, (h, w)), jnp.float32)
+    p1 = jnp.asarray(16.0)
+    ref_h = jnp.moveaxis(sgm._scan_bidir(jnp.moveaxis(cost, 1, 0), p1, p2.T),
+                         0, 1)
+    hf, hb = sgm_scan_bidir_axis1(cost, p2, p1, interpret=True, summed=False)
+    np.testing.assert_allclose(np.asarray(hf + hb), np.asarray(ref_h),
+                               rtol=1e-5, atol=1e-4)
+    vf, vb = sgm_scan_bidir(cost, p2, p1, interpret=True, summed=False)
+    ref_v = sgm._scan_bidir(cost, p1, p2)
+    np.testing.assert_allclose(np.asarray(vf + vb), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-4)
+    ref_idx, ref_conf = sgm.wta_depth((hf + hb + vf + vb).astype(jnp.float32))
+    idx, conf = wta_pallas(hf, hb, vf, vb, interpret=True)
+    np.testing.assert_allclose(np.asarray(idx), np.asarray(ref_idx),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(conf), np.asarray(ref_conf))

@@ -86,16 +86,23 @@ def plane_sweep_cost_gather(ref: jax.Array, meas: jax.Array,
             jnp.moveaxis(ok, 0, -1))
 
 
-def _interp_matrix(pos: jax.Array, size: int) -> jax.Array:
+def _interp_matrix(pos: jax.Array, size: int, dtype=None) -> jax.Array:
     """Banded bilinear interpolation matrices from sample positions.
 
     pos: (D, N_out) fractional source coordinates. Returns (D, N_out, size)
     hat-function weights: W[d, i, j] = max(0, 1 - |pos[d, i] - j|). Row sums
     are 1 strictly inside [0, size-1], and fall to 0 outside — which is
     exactly the coverage signal the validity channel needs.
+
+    The |pos - j| subtraction runs in pos's dtype (fp32: positions reach
+    several hundred pixels, bf16 would quantize them by whole pixels); the
+    weights themselves live in [0, 1], so `dtype` (the matmul storage dtype)
+    is applied at the output — the (D, N, size) matrices are the largest
+    arrays the sweep touches and never need to exist in fp32.
     """
     grid = jnp.arange(size, dtype=pos.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - grid))
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - grid))
+    return w if dtype is None else w.astype(dtype)
 
 
 def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
@@ -121,10 +128,13 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
     f32 = jnp.float32
 
     # --- align: meas_aligned(x) = meas(A x) via the two-pass MXU warp
-    # (returns image·coverage and coverage, both already renormalizable)
+    # (returns image·coverage and coverage); renormalize ONCE on the (H, W)
+    # image — interior coverage is exactly 1, boundary pixels are excluded
+    # analytically below, so no per-hypothesis division is ever needed
     u = jnp.arange(w, dtype=f32)
     v = jnp.arange(h, dtype=f32)
     meas_cov, cov_pw = projective_warp_mxu(meas.astype(f32), a_mat)
+    meas_al = meas_cov / jnp.maximum(cov_pw, 1e-3)
 
     # --- per-depth separable sweep positions
     c = jnp.linalg.solve(a_mat.astype(f32), b_vec.astype(f32))  # (3,)
@@ -132,30 +142,53 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
     den = 1.0 + c[2] * rho
     s = jnp.where(jnp.abs(den) > 1e-3, 1.0 / den, 0.0)          # 0 ⇒ masked out
     depth_ok = den > 1e-3                                        # plane in front
+    cdt = f32 if out_dtype is None else out_dtype
     pos_x = (u[None, :] + (c[0] * rho)[:, None]) * s[:, None]    # (D, W)
     pos_y = (v[None, :] + (c[1] * rho)[:, None]) * s[:, None]    # (D, H)
-    wx = _interp_matrix(pos_x, w)                                # (D, W, W)
-    wy = _interp_matrix(pos_y, h)                                # (D, H, H)
+    wx = _interp_matrix(pos_x, w, cdt)                           # (D, W, W)
+    wy = _interp_matrix(pos_y, h, cdt)                           # (D, H, H)
 
-    # --- sweep image and coverage through the same banded matmuls.
+    # --- sweep the aligned image through the banded matmuls.
     # In bf16 mode the matmul operands and the (D, H, W) intermediates are
     # bf16 (weight quantization ≈ 0.4 % ⇒ sub-intensity-level error); the
     # MXU accumulates in fp32 either way.
     # The interpolation matrices are banded hat functions — every output
     # element sums at most TWO nonzero products — so accumulating directly
     # in the storage dtype is numerically safe and avoids materializing the
-    # (2, D, H, W) intermediates in fp32 (an extra full-volume HBM round
+    # (D, H, W) intermediates in fp32 (an extra full-volume HBM round
     # trip each; the sweep is bandwidth-bound).
-    cdt = f32 if out_dtype is None else out_dtype
-    stack = jnp.stack([meas_cov, cov_pw]).astype(cdt)            # (2, H, W)
-    rowp = jnp.einsum("chw,dpw->cdhp", stack, wx.astype(cdt),
-                      preferred_element_type=cdt)                # (2, D, H, W)
-    swept = jnp.einsum("cdhp,dqh->cdqp", rowp, wy.astype(cdt),
-                       preferred_element_type=cdt)               # (2, D, H, W)
-    num_i, cov = swept[0], swept[1]
-    valid = (cov > 0.99) & depth_ok[:, None, None]
-    warped = jnp.where(valid, num_i / jnp.maximum(cov, jnp.asarray(1e-3, cdt)),
-                       jnp.asarray(jnp.nan, cdt))
+    img = meas_al.astype(cdt)                                    # (H, W)
+    rowp = jnp.einsum("hw,dpw->dhp", img, wx,
+                      preferred_element_type=cdt)                # (D, H, W)
+    warped = jnp.einsum("dhp,dqh->dqp", rowp, wy,
+                        preferred_element_type=cdt)              # (D, H, W)
+
+    # --- analytic validity (replaces sweeping a coverage channel — half the
+    # matmul work). A sweep sample at aligned coords (px, py) is valid iff
+    # (a) its 2x2 hat support lies inside the aligned image: px ∈ [0, W-1],
+    #     py ∈ [0, H-1] (row sums of wx/wy are exactly 1 there), and
+    # (b) the aligned image is itself valid at (px, py): the pre-warp covers
+    #     exactly {x : A x inside the measurement image}, a convex quad, so
+    #     membership is affine half-plane tests on m = A (px, py, 1)ᵀ.
+    #     Boundary samples ride the cov-renormalized pre-warp value (the
+    #     same half-supported estimate the gather oracle's own bilinear
+    #     boundary taps produce), so no extra shrink margin is applied.
+    inb_x = (pos_x >= 0.0) & (pos_x <= w - 1.0)                  # (D, W)
+    inb_y = (pos_y >= 0.0) & (pos_y <= h - 1.0)                  # (D, H)
+    a = a_mat.astype(f32)
+    mrg = 0.0
+    # m_i(d, q, p) = a[i,0]·px[d,p] + a[i,1]·py[d,q] + a[i,2], broadcast-sum
+    mx = a[:, 0][:, None, None, None] * pos_x[None, :, None, :]   # (3, D, 1, W)
+    my = a[:, 1][:, None, None, None] * pos_y[None, :, :, None]   # (3, D, H, 1)
+    m0 = mx[0] + my[0] + a[0, 2]
+    m1 = mx[1] + my[1] + a[1, 2]
+    m2 = mx[2] + my[2] + a[2, 2]
+    quad = ((m2 > 1e-6)
+            & (m0 >= mrg * m2) & (m0 <= (w - 1 - mrg) * m2)
+            & (m1 >= mrg * m2) & (m1 <= (h - 1 - mrg) * m2))
+    valid = (quad & inb_x[:, None, :] & inb_y[:, :, None]
+             & depth_ok[:, None, None])
+    warped = jnp.where(valid, warped, jnp.asarray(jnp.nan, cdt))
 
     ad = jnp.abs(warped - ref.astype(cdt)[None])
     vald = ~jnp.isnan(ad)

@@ -32,7 +32,13 @@ __all__ = ["TsdfConfig", "ChunkPool", "TsdfVolume", "integrate_depth"]
 class TsdfConfig:
     voxel_size: float = 0.1
     chunk_size: int = 8
-    capacity: int = 4096          # max resident chunks
+    capacity: int = 4096          # initial resident-chunk pool size
+    # pool growth ceiling: the pool doubles (re-jit per tier, like
+    # `KeyframeStore._grow`) until this many chunks; beyond it, chunks are
+    # dropped and counted (`TsdfVolume.dropped_chunks`). None = unbounded
+    # growth, matching the reference's unbounded chunk map
+    # (`ChunkManager.h:40-55`).
+    max_capacity: int | None = None
     trunc_scale: float = 2.0      # τ = trunc_scale * voxel_size (+ quadratic)
     trunc_quad: float = 0.0       # + trunc_quad * depth² (reference quadratic truncator)
     carving: bool = True
@@ -149,13 +155,16 @@ class TsdfVolume:
 
     def __init__(self, cfg: TsdfConfig | None = None):
         self.cfg = cfg or TsdfConfig()
+        self.capacity = self.cfg.capacity
         self.pool = _empty_pool(self.cfg)
-        self.coords_np = np.zeros((self.cfg.capacity, 3), np.int32)
-        self.occupied_np = np.zeros(self.cfg.capacity, bool)
+        self.coords_np = np.zeros((self.capacity, 3), np.int32)
+        self.occupied_np = np.zeros(self.capacity, bool)
         self.slot_of: dict[tuple, int] = {}
-        self.free = list(range(self.cfg.capacity - 1, -1, -1))
+        self.free = list(range(self.capacity - 1, -1, -1))
         self.dirty: set[int] = set()
         self.max_chunks_per_frame = 1024
+        self.dropped_chunks = 0   # chunks skipped because the pool hit max_capacity
+        self._warned_full = False
 
     # ----- allocation -----
 
@@ -202,14 +211,42 @@ class TsdfVolume:
                         ((uk >> 42) & mask) - off], 1).astype(np.int32)
         return out
 
+    def _grow(self) -> bool:
+        """Double the chunk pool (tiered growth like `KeyframeStore._grow`;
+        the reference's chunk map grows unbounded, `ChunkManager.h:40-55`).
+        Returns False when `max_capacity` forbids further growth."""
+        new_cap = self.capacity * 2
+        if self.cfg.max_capacity is not None and new_cap > self.cfg.max_capacity:
+            return False
+        old = self.capacity
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((old,) + a.shape[1:], a.dtype)])
+        self.pool = ChunkPool(*(pad(x) for x in self.pool))
+        self.coords_np = np.concatenate(
+            [self.coords_np, np.zeros((old, 3), np.int32)])
+        self.occupied_np = np.concatenate(
+            [self.occupied_np, np.zeros(old, bool)])
+        self.free = list(range(new_cap - 1, old - 1, -1)) + self.free
+        self.capacity = new_cap
+        return True
+
     def _alloc(self, coords: np.ndarray) -> np.ndarray:
         slots = []
         new_coords = []
         for c in map(tuple, coords):
             s = self.slot_of.get(c)
             if s is None:
-                if not self.free:
-                    continue  # pool exhausted: skip (host could spill to CPU)
+                if not self.free and not self._grow():
+                    # pool at max_capacity: drop, but never silently
+                    self.dropped_chunks += 1
+                    if not self._warned_full:
+                        self._warned_full = True
+                        import sys
+                        print(f"TsdfVolume: chunk pool full at "
+                              f"{self.capacity} (max_capacity="
+                              f"{self.cfg.max_capacity}); dropping chunks",
+                              file=sys.stderr)
+                    continue
                 s = self.free.pop()
                 self.slot_of[c] = s
                 new_coords.append((s, c))

@@ -342,6 +342,113 @@ def sgm_scan_bidir_axis1(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Fused plane-sweep cost kernel
+# ---------------------------------------------------------------------------
+#
+# One grid step per inverse-depth hypothesis: generate the banded hat-function
+# interpolation matrices for this depth IN VMEM, run the two resampling
+# matmuls on the MXU, then do validity, the absolute-difference against the
+# reference, and the 3x3 box aggregation on the VMEM-resident (H, W) plane —
+# and write a single bf16 plane with the reference CUDA kernel's -1
+# out-of-view sentinel (`calc_cost.cu:96-233`). The XLA formulation of the
+# same math materializes the (D, W, W)/(D, H, H) interpolation tensors and
+# ~10 (D, H, W) intermediates in HBM; here nothing but the output plane ever
+# leaves VMEM.
+
+
+def _box3_edge(x: jax.Array) -> jax.Array:
+    """3x3 box filter with edge replication on an (H, W) VMEM tile."""
+    h, w = x.shape
+    xp = jnp.concatenate([x[:1], x, x[-1:]], axis=0)
+    xp = jnp.concatenate([xp[:, :1], xp, xp[:, -1:]], axis=1)
+    acc = xp[0:h, 0:w]
+    for dy in range(3):
+        for dx in range(3):
+            if (dy, dx) == (0, 0):
+                continue
+            acc = acc + xp[dy:dy + h, dx:dx + w]
+    return acc * (1.0 / 9.0)
+
+
+def _sweep_kernel(meas_ref, refimg_ref, posx_ref, posy_ref, mx_ref, my_ref,
+                  out_ref):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    meas = meas_ref[:]                      # (H, W) f32, aligned image
+    h, w = meas.shape
+    px = posx_ref[0]                        # (1, W) — stay 2-D throughout
+    py = posy_ref[0]                        # (H, 1)   (Mosaic has no 1-D ops)
+
+    # row resample: rowp[h, p] = sum_x meas[h, x] * hat(px[p] - x)
+    xio = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(f32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xio)).astype(bf16)
+    rowp = jnp.dot(meas.astype(bf16), wx, preferred_element_type=f32)
+    # column resample: warped[q, p] = sum_h hat(py[q] - h) * rowp[h, p]
+    hio = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1).astype(f32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - hio)).astype(bf16)
+    warped = jnp.dot(wy, rowp.astype(bf16), preferred_element_type=f32)
+
+    # validity: hat support in-bounds + aligned-image quad membership
+    # (behind-camera depths carry px = py = -1e9, failing every test)
+    inb_x = (px >= 0.0) & (px <= w - 1.0)                   # (1, W)
+    inb_y = (py >= 0.0) & (py <= h - 1.0)                   # (H, 1)
+    mx = mx_ref[0]                          # (3, W)
+    my = my_ref[0]                          # (H, 3)
+    m0 = mx[0:1, :] + my[:, 0:1]                            # (H, W)
+    m1 = mx[1:2, :] + my[:, 1:2]
+    m2 = mx[2:3, :] + my[:, 2:3]
+    quad = ((m2 > 1e-6)
+            & (m0 >= 0.0) & (m0 <= (w - 1.0) * m2)
+            & (m1 >= 0.0) & (m1 <= (h - 1.0) * m2))
+    valid = quad & inb_x & inb_y
+
+    ad = jnp.where(valid, jnp.abs(warped - refimg_ref[:]), 0.0)
+    num = _box3_edge(ad)
+    den = _box3_edge(valid.astype(f32))
+    cost = jnp.where(den > 0.0, num / jnp.maximum(den, 0.1), 0.0)
+    ok = den > 0.5                                           # >= half the patch
+    out_ref[0] = jnp.where(ok, jnp.maximum(cost, 0.0),
+                           -1.0).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def plane_sweep_pallas(ref: jax.Array, meas_al: jax.Array,
+                       pos_x: jax.Array, pos_y: jax.Array,
+                       mx: jax.Array, my: jax.Array,
+                       out_dtype=jnp.bfloat16,
+                       interpret: bool = False) -> jax.Array:
+    """Fused plane-sweep AD cost over all depths. Returns (D, H, W) cost with
+    -1 marking out-of-view samples (the CUDA sentinel); the caller transposes
+    to the (H, W, D) volume layout and splits cost/valid.
+
+    ref, meas_al: (H, W) f32 (meas_al = measurement pre-warped by A and
+    coverage-renormalized); pos_x (D, W), pos_y (D, H), mx (D, 3, W),
+    my (D, 3, H) from `ops.costvolume._sweep_positions`.
+    """
+    h, w = ref.shape
+    d = pos_x.shape[0]
+    img_spec = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _sweep_kernel,
+        grid=(d,),
+        in_specs=[
+            img_spec,                                            # meas_al
+            img_spec,                                            # ref
+            pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0)),        # pos_x (1, W)
+            pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0)),        # pos_y (H, 1)
+            pl.BlockSpec((1, 3, w), lambda i: (i, 0, 0)),        # mx (3, W)
+            pl.BlockSpec((1, h, 3), lambda i: (i, 0, 0)),        # my (H, 3)
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((d, h, w), out_dtype),
+        interpret=interpret,
+    )(meas_al.astype(jnp.float32), ref.astype(jnp.float32),
+      pos_x[:, None, :], pos_y[:, :, None],
+      mx, jnp.swapaxes(my, 1, 2))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fused WTA (winner-take-all + subpixel + peak rejection)
 # ---------------------------------------------------------------------------
 #
@@ -378,25 +485,28 @@ def _wta_kernel(*refs, d, peak_ratio):
     conf_ref[:] = conf.astype(jnp.int32)
 
 
-def _wta_tiles(h: int, w: int, d: int, itemsize: int) -> tuple[int, int] | None:
+def _wta_tiles(h: int, w: int, d: int, itemsize: int,
+               n_vols: int = 4) -> tuple[int, int] | None:
     """Pick (th, tw) tiles for the WTA grid; None if shapes don't divide.
 
-    The kernel body materializes roughly ten tile-shaped fp32/int32
-    intermediates (x = a+b, the lane iota, the one-hot neighbor masks, the
-    peak-rejection mask, ...), so the budget is the fp32 *working set*, not
-    the input storage — budgeting only the inputs is exactly how round 1's
-    34 MB scoped-VMEM OOM at (480, 640, 128) escaped the toy-shape tests.
+    The kernel body materializes roughly `8 + n_vols` tile-shaped fp32/int32
+    intermediates (the n_vols input tiles plus x = sum, the lane iota, the
+    one-hot neighbor masks, the peak-rejection mask, ...), so the budget is
+    the fp32 *working set*, not the input storage — budgeting only the inputs
+    is exactly how round 1's 34 MB scoped-VMEM OOM at (480, 640, 128)
+    escaped the toy-shape tests.
     """
     if d % 128 != 0:
         return None
     sub = 16 if itemsize == 2 else 8
-    budget = 6 * 2 ** 20        # ~12 fp32 tiles must fit well under 16 MB
+    budget = 6 * 2 ** 20        # working-set tiles must fit well under 16 MB
+    ntiles = 8 + n_vols
     best = None
     for tw in (512, 256, 128, 64, 32, 16, 8):
         if tw % sub != 0 or w % tw != 0:
             continue
         for th in (32, 16, 8, 4, 2, 1):
-            if h % th != 0 or 12 * th * tw * d * 4 > budget:
+            if h % th != 0 or ntiles * th * tw * d * 4 > budget:
                 continue
             if best is None or th * tw > best[0] * best[1]:
                 best = (th, tw)
@@ -413,7 +523,7 @@ def wta_pallas(*vols: jax.Array, peak_ratio: float = 0.98,
     bool) with the same semantics as `ops.sgm.wta_depth` (minus the
     valid_count gate, applied by the caller on (H, W) maps)."""
     h, w, d = vols[0].shape
-    tiles = _wta_tiles(h, w, d, vols[0].dtype.itemsize)
+    tiles = _wta_tiles(h, w, d, vols[0].dtype.itemsize, n_vols=len(vols))
     assert tiles is not None, f"unsupported WTA shape {(h, w, d)}"
     th, tw = tiles
     grid = (h // th, w // tw)

@@ -211,7 +211,8 @@ def sgm_depth(cost: jax.Array, grad: jax.Array, inv_depths: jax.Array,
     parts = sgm_aggregate_parts(cost, grad, **kw)
     from .pallas_kernels import _wta_tiles, wta_pallas
     if (_pallas_ok(cost) and kw.get("use_pallas") is not False
-            and _wta_tiles(*cost.shape, cost.dtype.itemsize) is not None):
+            and _wta_tiles(*cost.shape, cost.dtype.itemsize,
+                           n_vols=len(parts)) is not None):
         idx_f, conf = wta_pallas(*parts)
         if valid_count is not None:
             conf = conf & (valid_count >= min_count)

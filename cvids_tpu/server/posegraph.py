@@ -18,6 +18,10 @@ jitted kernel:
 
 from __future__ import annotations
 
+import threading
+import time
+import types
+
 from dataclasses import dataclass, field
 
 import jax
@@ -85,6 +89,13 @@ class ServerConfig:
     lm_iters: int = 12
     cg_iters: int = 60
     optimize_every: int = 20          # keyframes between solves (vs 5 s timer)
+    # background optimization (the reference's dedicated Optimize4DoF thread,
+    # `server_pose_graph.cpp:16,1811-1812`): the solve runs on a worker
+    # thread against a snapshot and writes back poses + drift when done, so
+    # ingestion never blocks on it. False = solve inline (deterministic,
+    # used by most unit tests).
+    async_optimize: bool = False
+    optimize_period_s: float = 5.0    # worker wake-up cadence (reference: 5 s)
     # PCM
     pcm_min_edges: int = 20
     pcm_gamma: float = 5.0
@@ -178,6 +189,64 @@ class CollaborativePoseGraph:
         self._rng_key = jax.random.PRNGKey(0)
         self.last_loop: dict | None = None
         self._chain_cache: dict = {}
+        # device-side copies of per-keyframe feature arrays (immutable once
+        # stored): loop verification re-reads the OLD keyframe's full-image
+        # features on every candidate, and re-uploading them per candidate
+        # was ~40% of the measured ingest cost
+        self._dev_feats: dict[int, tuple] = {}
+        self._dev_feats_max = 8192
+        # overlapped-optimization state. The lock guards every pose-graph
+        # mutation (ingest) plus the solver's snapshot/writeback; the solve
+        # itself runs unlocked, so in async mode ingest overlaps it.
+        self._lock = threading.RLock()
+        self._align_gen = 0           # bumped by _align_submap; stale solves discard
+        self.solve_count = 0
+        self.discarded_solves = 0
+        self.last_solve_s = 0.0
+        self._opt_thread: threading.Thread | None = None
+        self._opt_wake = threading.Event()
+        self._opt_running = threading.Event()
+        self._opt_stop = False
+        if self.cfg.async_optimize:
+            self._opt_thread = threading.Thread(
+                target=self._opt_loop, name="optimize4dof", daemon=True)
+            self._opt_thread.start()
+
+    # ---------- background optimization worker ----------
+
+    def _opt_loop(self):
+        """Worker twin of the reference's Optimize4DoF thread: wake on demand
+        (keyframe-count trigger) or every `optimize_period_s` seconds."""
+        while not self._opt_stop:
+            self._opt_wake.wait(timeout=self.cfg.optimize_period_s)
+            if self._opt_stop:
+                break
+            self._opt_running.set()
+            self._opt_wake.clear()
+            try:
+                if self.loop_count > 0 and self.store.count >= 2:
+                    self.optimize()
+            except Exception:   # never kill the worker; surface and continue
+                import traceback
+                traceback.print_exc()
+            finally:
+                self._opt_running.clear()
+
+    def flush(self, final: bool = True):
+        """Wait for any in-flight background solve; optionally run one final
+        synchronous solve so queries after a run see fully optimized state."""
+        if self._opt_thread is not None:
+            while self._opt_wake.is_set() or self._opt_running.is_set():
+                time.sleep(0.005)
+        if final and self.loop_count > 0 and self.store.count >= 2:
+            self.optimize()
+
+    def close(self):
+        if self._opt_thread is not None:
+            self._opt_stop = True
+            self._opt_wake.set()
+            self._opt_thread.join(timeout=60.0)
+            self._opt_thread = None
 
     # ---------- client / submap management ----------
 
@@ -217,6 +286,10 @@ class CollaborativePoseGraph:
     # ---------- ingestion ----------
 
     def add_keyframe(self, pkt: KeyframePacket) -> dict:
+        with self._lock:
+            return self._add_keyframe_locked(pkt)
+
+    def _add_keyframe_locked(self, pkt: KeyframePacket) -> dict:
         cfg = self.cfg
         cid = pkt.client_id
         self.register_client(cid, pkt.r_cb, pkt.p_bc)
@@ -233,13 +306,22 @@ class CollaborativePoseGraph:
         # sparse tf-idf entries at reference vocabulary scale)
         desc_j = jnp.asarray(self.store.ext_desc[idx])
         valid_j = jnp.asarray(self.store.ext_valid[idx])
+        # cache the device copies for loop verification (arrays are
+        # immutable once stored; bounded FIFO eviction)
+        self._dev_feats[idx] = (
+            desc_j, valid_j, jnp.asarray(self.store.ext_uv[idx]),
+            jnp.asarray(self.store.win_desc[idx]),
+            jnp.asarray(self.store.win_valid[idx]),
+            jnp.asarray(self.store.win_uv[idx]))
+        if len(self._dev_feats) > self._dev_feats_max:
+            self._dev_feats.pop(next(iter(self._dev_feats)))
         if self._tree_mode:
             cand_idx, cand_score = self.db.query(desc_j, cid,
                                                  cfg.exclude_recent,
                                                  valid=valid_j)
             self.db.add_descriptors(desc_j, cid, valid=valid_j)
         else:
-            vec = np.asarray(vocab_mod.bow_vector(self.voc, desc_j, valid_j))
+            vec = vocab_mod.bow_vector(self.voc, desc_j, valid_j)
             cand_idx, cand_score = self.db.query(vec, cid, cfg.exclude_recent)
             self.db.add(vec, cid)
 
@@ -266,7 +348,10 @@ class CollaborativePoseGraph:
 
         self._since_optimize += 1
         if self._since_optimize >= cfg.optimize_every and self.loop_count > 0:
-            self.optimize()
+            if self._opt_thread is not None:
+                self._opt_wake.set()     # overlapped: solve on the worker
+            else:
+                self.optimize()
             self._since_optimize = 0
         return info
 
@@ -326,11 +411,20 @@ class CollaborativePoseGraph:
         pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
 
         self._rng_key, key = jax.random.split(self._rng_key)
+
+        def feats(k):
+            hit = self._dev_feats.get(k)
+            if hit is None:
+                hit = (jnp.asarray(st.ext_desc[k]), jnp.asarray(st.ext_valid[k]),
+                       jnp.asarray(st.ext_uv[k]), jnp.asarray(st.win_desc[k]),
+                       jnp.asarray(st.win_valid[k]), jnp.asarray(st.win_uv[k]))
+            return hit
+
+        _, _, _, wdj, wvj, wuj = feats(j)
+        edi, evi, eui, _, _, _ = feats(i)
         res, m, keep = _match_and_pnp(
-            jnp.asarray(st.win_desc[j]), jnp.asarray(st.win_valid[j]),
-            jnp.asarray(st.win_uv[j]), jnp.asarray(pts_cam, jnp.float32),
-            jnp.asarray(st.ext_desc[i]), jnp.asarray(st.ext_valid[i]),
-            jnp.asarray(st.ext_uv[i]), key,
+            wdj, wvj, wuj, jnp.asarray(pts_cam, jnp.float32),
+            edi, evi, eui, key,
             cfg.pnp_thresh, cfg.min_loop_matches)
         if not bool(res.ok):
             self._fc_fail = ("pnp", int(res.num_inliers))
@@ -413,6 +507,7 @@ class CollaborativePoseGraph:
         c.yaw_drift = 0.0
         c.t_drift = np.zeros(3, np.float32)
         c.aligned = True
+        self._align_gen += 1   # invalidate any in-flight background solve
         # rewrite world poses of every KF of this client (batched)
         sel = (st.client == cid_unaligned) & st.valid
         idxs = np.nonzero(sel)[0]
@@ -455,19 +550,21 @@ class CollaborativePoseGraph:
 
     # ---------- PCM + optimization ----------
 
-    def _run_pcm(self):
-        """PCM per client pair on inter-agent edges (`pcm_graph.cpp:56-305`)."""
+    def _run_pcm(self, snap) -> np.ndarray:
+        """PCM per client pair on inter-agent edges (`pcm_graph.cpp:56-305`).
+
+        Pure w.r.t. server state: reads only the snapshot (plus the
+        append-only VIO fields, safe to share) and returns the per-edge
+        keep mask for the snapshot's `k_loops` edges."""
         cfg = self.cfg
-        st = self.store
-        n = self.loop_count
-        if n == 0:
-            return
-        li, lj = self.loop_i[:n], self.loop_j[:n]
+        n = snap.k_loops
+        pcm_ok = np.ones(n, bool)
+        li, lj = snap.loop_i, snap.loop_j
         pairs = {}
         for e in range(n):
-            if not (self.loop_valid[e] and self.loop_inter[e]):
+            if not (snap.loop_valid[e] and snap.loop_inter[e]):
                 continue
-            a, b = int(st.client[li[e]]), int(st.client[lj[e]])
+            a, b = int(snap.client[li[e]]), int(snap.client[lj[e]])
             pairs.setdefault((min(a, b), max(a, b)), []).append(e)
         for (_, _), es in pairs.items():
             es = np.asarray(es)
@@ -485,30 +582,31 @@ class CollaborativePoseGraph:
 
             pmask = np.concatenate([np.ones(e, bool), np.zeros(pad, bool)])
             edge_T = pcm_mod.FourDof(
-                jnp.asarray(padv(self.loop_yaw[es])),
-                jnp.asarray(padv(self.loop_t[es])))
-            yaw_i = yaw_of_quat_np(st.vio_q[li[es]]).astype(np.float32)
-            yaw_j = yaw_of_quat_np(st.vio_q[lj[es]]).astype(np.float32)
+                jnp.asarray(padv(snap.loop_yaw[es])),
+                jnp.asarray(padv(snap.loop_t[es])))
+            yaw_i = yaw_of_quat_np(snap.vio_q[li[es]]).astype(np.float32)
+            yaw_j = yaw_of_quat_np(snap.vio_q[lj[es]]).astype(np.float32)
             pose_i = pcm_mod.FourDof(jnp.asarray(padv(yaw_i)),
-                                     jnp.asarray(padv(st.vio_p[li[es]])))
+                                     jnp.asarray(padv(snap.vio_p[li[es]])))
             pose_j = pcm_mod.FourDof(jnp.asarray(padv(yaw_j)),
-                                     jnp.asarray(padv(st.vio_p[lj[es]])))
+                                     jnp.asarray(padv(snap.vio_p[lj[es]])))
             chain = None
             if cfg.pcm_chain_cov:
                 # full per-client odometry chains ordered by local index,
                 # so the prefix-sum covariance can address any chain segment
-                cid_a = int(st.client[li[es][0]])
-                cid_b = int(st.client[lj[es][0]])
+                cid_a = int(snap.client[li[es][0]])
+                cid_b = int(snap.client[lj[es][0]])
                 chain = (self._client_chain(cid_a),
-                         jnp.asarray(padv(st.local_index[li[es]])),
+                         jnp.asarray(padv(snap.local_index[li[es]])),
                          self._client_chain(cid_b),
-                         jnp.asarray(padv(st.local_index[lj[es]])),
+                         jnp.asarray(padv(snap.local_index[lj[es]])),
                          cfg.pcm_step_sigma_t, cfg.pcm_step_sigma_yaw)
             keep = pcm_mod.pcm_filter(edge_T, pose_i, pose_j, pmask,
                                       cfg.pcm_min_edges, cfg.pcm_sigma_t,
                                       cfg.pcm_sigma_yaw, cfg.pcm_gamma,
                                       chain=chain)
-            self.loop_pcm_ok[es] = keep[:e]
+            pcm_ok[es] = keep[:e]
+        return pcm_ok
 
     def _client_chain(self, cid: int) -> pcm_mod.FourDof:
         """One client's full odometry chain (local frame), local-index order.
@@ -536,7 +634,7 @@ class CollaborativePoseGraph:
         self._chain_cache[cid] = (key, chain)
         return chain
 
-    def optimize(self):
+    def optimize(self) -> bool:
         """4-DoF solve over aligned keyframes + drift propagation
         (`Optimize4DoF`, `server_pose_graph.cpp:1107-1815`).
 
@@ -544,33 +642,79 @@ class CollaborativePoseGraph:
         enter the problem (`server_pose_graph.cpp:1470-1475`); earlier poses
         are settled and never revisited. The window is padded to a
         power-of-two tier so solve time stays bounded by the *active* window,
-        not total trajectory length, and jit recompiles O(log n) times."""
-        cfg = self.cfg
+        not total trajectory length, and jit recompiles O(log n) times.
+
+        Structured as snapshot (locked) -> solve (unlocked) -> writeback
+        (locked): in async mode the expensive solve overlaps ingestion the
+        way the reference's dedicated thread does. Returns False when a
+        concurrent submap alignment invalidated the solve (it is discarded;
+        the worker retries on its next wake-up)."""
+        t0 = time.perf_counter()
+        with self._lock:
+            snap = self._snapshot()
+        if snap is None:
+            return True
+        pcm_ok, result = self._solve(snap)
+        with self._lock:
+            applied = self._writeback(snap, pcm_ok, result)
+        self.solve_count += 1
+        self.last_solve_s = time.perf_counter() - t0
+        if not applied:
+            self.discarded_solves += 1
+        return applied
+
+    def _snapshot(self):
+        """Consistent copy of the solver's inputs (called under the lock).
+
+        VIO fields (`vio_p/vio_q/client/local_index`) are append-only, so the
+        live arrays are shared; world poses, loop edges, and client submap
+        state are mutated by ingest and must be copied."""
         st = self.store
         n = st.count
-        if n < 2:
-            return
-        self._run_pcm()
-        k_loops = self.loop_count
-        lv = (self.loop_valid & self.loop_pcm_ok)[:k_loops]
-        lo = int(self.loop_i[:k_loops][lv].min()) if lv.any() else 0
+        k = self.loop_count
+        if n < 2 or k == 0:
+            return None
+        return types.SimpleNamespace(
+            n=n, k_loops=k, gen=self._align_gen,
+            client=st.client, local_index=st.local_index,
+            vio_p=st.vio_p, vio_q=st.vio_q,
+            world_yaw=st.world_yaw[:n].copy(),
+            world_p=st.world_p[:n].copy(),
+            world_pr=st.world_pr[:n].copy(),
+            loop_i=self.loop_i[:k].copy(), loop_j=self.loop_j[:k].copy(),
+            loop_t=self.loop_t[:k].copy(), loop_yaw=self.loop_yaw[:k].copy(),
+            loop_inter=self.loop_inter[:k].copy(),
+            loop_valid=self.loop_valid[:k].copy(),
+            aligned=np.array([c.aligned for c in self.clients]),
+            yaw_wl=np.array([c.yaw_wl for c in self.clients], np.float32),
+            t_wl=np.stack([c.t_wl for c in self.clients]).astype(np.float32))
+
+    def _solve(self, snap):
+        """PCM + 4-DoF LM/PCG on a snapshot. Pure: touches no server state."""
+        cfg = self.cfg
+        n = snap.n
+        pcm_ok = self._run_pcm(snap)
+        k_loops = snap.k_loops
+        lv = snap.loop_valid & pcm_ok
+        lo = int(snap.loop_i[lv].min()) if lv.any() else 0
         wn = n - lo  # active window length
 
-        aligned_mask = np.array([self.clients[int(c)].aligned if c >= 0 else False
-                                 for c in st.client[lo:n]])
+        client_w = snap.client[lo:n]
+        aligned_mask = snap.aligned[np.clip(client_w, 0, MAX_CLIENTS - 1)]
+        aligned_mask = aligned_mask & (client_w >= 0)
         tier = max(64, 1 << (wn - 1).bit_length())
         pad = tier - wn
         valid = np.concatenate([aligned_mask, np.zeros(pad, bool)])
         fixed = np.zeros(tier, bool)
         # anchor: first in-window KF of the world client
         # (`server_pose_graph.cpp:1513-1519`)
-        first_world = np.nonzero((st.client[lo:n] == self.world_client)
+        first_world = np.nonzero((client_w == self.world_client)
                                  & aligned_mask)[0]
         if len(first_world):
             fixed[first_world[0]] = True
 
         # node init: current world estimates; measurements from VIO (batched)
-        vio_ypr = r_to_ypr_np(quat_to_matrix_np(st.vio_q[lo:n]))
+        vio_ypr = r_to_ypr_np(quat_to_matrix_np(snap.vio_q[lo:n]))
         vio_yaw = vio_ypr[:, 0].astype(np.float32)
         vio_pr = vio_ypr[:, 1:].astype(np.float32)
 
@@ -579,18 +723,18 @@ class CollaborativePoseGraph:
                 [a, np.zeros((pad,) + a.shape[1:], a.dtype)])[:width]
 
         nodes = opt.PoseGraphNodes(
-            yaw=jnp.asarray(padded(st.world_yaw[lo:n], tier), jnp.float32),
-            pr=jnp.asarray(padded(st.world_pr[lo:n], tier), jnp.float32),
-            t=jnp.asarray(padded(st.world_p[lo:n], tier), jnp.float32),
+            yaw=jnp.asarray(padded(snap.world_yaw[lo:], tier), jnp.float32),
+            pr=jnp.asarray(padded(snap.world_pr[lo:], tier), jnp.float32),
+            t=jnp.asarray(padded(snap.world_p[lo:], tier), jnp.float32),
             valid=jnp.asarray(valid), fixed=jnp.asarray(fixed))
 
         # sequential edges from VIO (invariant to submap transform)
-        client_pad = np.concatenate([st.client[lo:n].astype(np.int32),
+        client_pad = np.concatenate([client_w.astype(np.int32),
                                      np.full(pad, -2, np.int32)])
         seq = opt.make_sequential_edges(
             jnp.asarray(padded(vio_yaw, tier)),
             jnp.asarray(padded(vio_pr, tier)),
-            jnp.asarray(padded(st.vio_p[lo:n], tier)),
+            jnp.asarray(padded(snap.vio_p[lo:n], tier)),
             jnp.asarray(client_pad),
             jnp.asarray(valid), max_back=cfg.seq_back)
 
@@ -602,11 +746,11 @@ class CollaborativePoseGraph:
         lT = np.zeros((lt, 3), np.float32)
         lyaw = np.zeros(lt, np.float32)
         lval = np.zeros(lt, bool)
-        li[:k_loops] = self.loop_i[:k_loops] - lo
-        lj[:k_loops] = self.loop_j[:k_loops] - lo
-        lT[:k_loops] = self.loop_t[:k_loops]
-        lyaw[:k_loops] = self.loop_yaw[:k_loops]
-        lval[:k_loops] = lv & (self.loop_i[:k_loops] >= lo)
+        li[:k_loops] = snap.loop_i - lo
+        lj[:k_loops] = snap.loop_j - lo
+        lT[:k_loops] = snap.loop_t
+        lyaw[:k_loops] = snap.loop_yaw
+        lval[:k_loops] = lv & (snap.loop_i >= lo)
         li = np.clip(li, 0, tier - 1)
         lj = np.clip(lj, 0, tier - 1)
         loops = opt.PoseGraphEdges(
@@ -621,11 +765,27 @@ class CollaborativePoseGraph:
                                      for a, b in zip(seq, loops)])
         out = opt.optimize_pose_graph(nodes, edges, cfg.lm_iters, cfg.cg_iters)
 
-        new_yaw = np.asarray(out.yaw)[:wn]
-        new_t = np.asarray(out.t)[:wn]
-        upd = valid[:wn]
-        st.world_yaw[lo:n][upd] = new_yaw[upd]
-        st.world_p[lo:n][upd] = new_t[upd]
+        return pcm_ok, types.SimpleNamespace(
+            lo=lo, wn=wn, upd=valid[:wn], vio_yaw=vio_yaw,
+            new_yaw=np.asarray(out.yaw)[:wn], new_t=np.asarray(out.t)[:wn])
+
+    def _writeback(self, snap, pcm_ok, result) -> bool:
+        """Apply a solve's poses + recompute drift (called under the lock).
+
+        Keyframes ingested while the solve ran (the tail past the snapshot)
+        get their world poses recomputed under the new drift — the
+        reference's propagate-to-unoptimized-tail step
+        (`server_pose_graph.cpp:1720-1796`)."""
+        st = self.store
+        self.loop_pcm_ok[:snap.k_loops] = pcm_ok
+        if snap.gen != self._align_gen:
+            # a submap alignment landed mid-solve: the solved poses live in a
+            # superseded world frame — discard; the next solve sees the new one
+            return False
+        lo, n = result.lo, snap.n
+        upd = result.upd
+        st.world_yaw[lo:n][upd] = result.new_yaw[upd]
+        st.world_p[lo:n][upd] = result.new_t[upd]
         st.optimized[lo:n] |= upd
 
         # drift per client from its last optimized KF
@@ -639,11 +799,21 @@ class CollaborativePoseGraph:
             k = int(sel[-1])
             # submap-transformed VIO pose (no drift)
             p_sv = rot_z_np(c.yaw_wl) @ st.vio_p[lo + k] + c.t_wl
-            yaw_sv = vio_yaw[k] + c.yaw_wl
+            yaw_sv = result.vio_yaw[k] + c.yaw_wl
             yaw_d = float(wrap_angle_np(st.world_yaw[lo + k] - yaw_sv))
             t_d = st.world_p[lo + k] - rot_z_np(yaw_d) @ p_sv
             c.yaw_drift = yaw_d
             c.t_drift = t_d.astype(np.float32)
+            # re-propagate the new drift to keyframes ingested during the
+            # solve (they were placed with the pre-solve drift)
+            tail = np.nonzero(st.client[n:st.count] == cid)[0] + n
+            if len(tail):
+                p_w, yaw_w, pr_w = self._local_to_world(
+                    cid, st.vio_p[tail], st.vio_q[tail])
+                st.world_p[tail] = p_w
+                st.world_yaw[tail] = yaw_w
+                st.world_pr[tail] = pr_w
+        return True
 
     # ---------- outputs ----------
 

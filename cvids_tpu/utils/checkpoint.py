@@ -32,7 +32,7 @@ def save_server(path: str, server) -> None:
         arrays[f"store_{f}"] = getattr(server.store, f)
     for f in _LOOP_FIELDS:
         arrays[f] = getattr(server, f)
-    arrays["db_vectors"] = server.db.vectors
+    arrays["db_vectors"] = np.asarray(server.db.vectors)
     arrays["db_client"] = server.db.client
     meta = {
         "store_count": server.store.count,
@@ -59,7 +59,7 @@ def load_server(path: str, server) -> None:
         getattr(server.store, f)[...] = data[f"store_{f}"]
     for f in _LOOP_FIELDS:
         getattr(server, f)[...] = data[f]
-    server.db.vectors[...] = data["db_vectors"]
+    server.db.vectors = jnp.asarray(data["db_vectors"])  # device-resident
     server.db.client[...] = data["db_client"]
     server.store.count = int(meta["store_count"])
     server.loop_count = int(meta["loop_count"])
@@ -94,7 +94,9 @@ def load_tsdf(path: str, vol) -> None:
     vol.pool = vol.pool._replace(
         sdf=jnp.asarray(data["sdf"]), weight=jnp.asarray(data["weight"]),
         color=jnp.asarray(data["color"]))
-    vol.coords_np[...] = data["coords"]
-    vol.occupied_np[...] = data["occupied"]
+    # the saved pool may have grown past vol's current tier
+    vol.capacity = int(data["sdf"].shape[0])
+    vol.coords_np = np.asarray(data["coords"], np.int32).copy()
+    vol.occupied_np = np.asarray(data["occupied"], bool).copy()
     vol.slot_of = {tuple(k): int(s) for k, s in zip(data["keys"], data["slots"])}
     vol.free = [int(x) for x in data["free"]]

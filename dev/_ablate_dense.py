@@ -73,7 +73,9 @@ def step_c(st):
     st = step_b(st)
     observed = st.count > 0
     total = jnp.where(observed, st.mean_cost,
-                      jnp.asarray(50.0, st.mean_cost.dtype)) + st.sparse_bias
+                      jnp.asarray(50.0, st.mean_cost.dtype))
+    if st.sparse_bias is not None:
+        total = total + st.sparse_bias
     agg = sgm.sgm_aggregate(total, st.grad.astype(total.dtype))
     # fold a cheap reduction of agg into the carry to keep it live
     return st._replace(filt=st.filt._replace(
@@ -84,7 +86,9 @@ def step_d(st):
     st = step_b(st)
     observed = st.count > 0
     total = jnp.where(observed, st.mean_cost,
-                      jnp.asarray(50.0, st.mean_cost.dtype)) + st.sparse_bias
+                      jnp.asarray(50.0, st.mean_cost.dtype))
+    if st.sparse_bias is not None:
+        total = total + st.sparse_bias
     inv_d, conf = sgm.sgm_depth(total, st.grad.astype(total.dtype), inv_depths,
                                 valid_count=jnp.sum(observed, -1),
                                 min_count=cfg.num_depths * 0.25)

@@ -3,9 +3,16 @@
 
 The reference's operating point is 4 agents x 10 Hz = 40 keyframes/s
 (`config/euroc/euroc_config.yaml:46`, 4-agent launch); the host-side server
-loop must sustain at least that. Measures the full ingestion path — BoW
-vector + query + candidate gates + (when candidates fire) the jitted
-match/F/PnP cascade — over ~1000 synthetic keyframes from 4 agents.
+loop must sustain at least that WITH loop closures firing and the 4-DoF
+optimization running — the reference overlaps the solve on a dedicated
+thread (`server_pose_graph.cpp:16,1811-1812`), and so does the async mode
+measured here.
+
+Measures the full ingestion path — BoW vector + query + candidate gates +
+(when candidates fire) the jitted match/F/PnP cascade — over ~1000 synthetic
+keyframes from 4 agents, in two modes:
+  sync : optimize() inline every `optimize_every` keyframes (blocks ingest)
+  async: background worker solves on snapshots (default operating mode)
 
 Run: JAX_PLATFORMS=cpu PYTHONPATH= python dev/bench_ingest.py
 """
@@ -27,7 +34,7 @@ from cvids_tpu.io.synthetic import Trajectory
 from cvids_tpu.server import posegraph, vocab
 
 
-def main():
+def make_packets():
     rng = np.random.default_rng(1)
     n_lm = 600
     landmarks = np.stack([rng.uniform(-16, 16, n_lm),
@@ -40,10 +47,12 @@ def main():
         drift_yaw_rate=0.0004, drift_t_rate=0.002) for a in range(4)]
     packets, _ = multiagent.generate_packets(
         agents, landmarks, descs, duration=250.0, kf_rate=1.0, max_feats=60)
-    print(f"{len(packets)} packets from 4 agents")
+    return voc, packets
 
+
+def run_mode(voc, packets, name, **cfg_kw):
     server = posegraph.CollaborativePoseGraph(
-        voc, posegraph.ServerConfig(kf_capacity=2048, optimize_every=10 ** 9))
+        voc, posegraph.ServerConfig(kf_capacity=2048, **cfg_kw))
     # warm the jits on the first few packets
     for _, _, _, pkt in packets[:16]:
         server.add_keyframe(pkt)
@@ -52,12 +61,28 @@ def main():
         server.add_keyframe(pkt)
     dt = time.perf_counter() - t0
     n = len(packets) - 16
-    print(f"ingest: {n} keyframes in {dt:.1f} s = {n / dt:.1f} kf/s "
-          f"(target >= 40; loops found: {server.loop_count})")
+    server.flush(final=False)
+    print(f"[{name}] ingest: {n} keyframes in {dt:.1f} s = {n / dt:.1f} kf/s "
+          f"(target >= 40; loops: {server.loop_count}; "
+          f"solves: {server.solve_count}, last {server.last_solve_s:.2f} s, "
+          f"discarded {server.discarded_solves})")
     t0 = time.perf_counter()
     server.optimize()
-    print(f"optimize() over {server.store.count} KFs: "
+    print(f"[{name}] final optimize() over {server.store.count} KFs: "
           f"{time.perf_counter() - t0:.2f} s")
+    server.close()
+    return n / dt
+
+
+def main():
+    voc, packets = make_packets()
+    print(f"{len(packets)} packets from 4 agents")
+    # honest contended numbers: default optimize cadence, loops firing
+    fps_async = run_mode(voc, packets, "async", async_optimize=True,
+                         optimize_period_s=5.0)
+    fps_sync = run_mode(voc, packets, "sync")
+    print(f"async {fps_async:.1f} kf/s vs sync {fps_sync:.1f} kf/s "
+          f"(overlap win {fps_async / max(fps_sync, 1e-9):.2f}x)")
 
 
 if __name__ == "__main__":

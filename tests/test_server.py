@@ -225,3 +225,39 @@ def test_server_with_tree_vocabulary(world):
     assert server.clients[1].aligned, "client 1 never aligned (tree vocab)"
     ate1, n1 = ate(server, gt, 1)
     assert ate1 < 0.3, ate1
+
+
+def test_async_optimize_matches_sync(world):
+    """Background-optimizer mode (the reference's Optimize4DoF thread,
+    `server_pose_graph.cpp:16,1811-1812`): ingest never blocks on the solve;
+    after flush() the result matches the synchronous mode's accuracy."""
+    landmarks, descs, voc = world
+    agents = [
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.45,
+                                              center=(0.0, 0.0, 1.5))),
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.45,
+                                              phase=1.5,
+                                              center=(2.0, 1.0, 1.5)),
+                            yaw_offset=0.4, t_offset=np.array([2.0, -1.0, 0.3]),
+                            drift_yaw_rate=0.0005, drift_t_rate=0.002),
+    ]
+    packets, gt = multiagent.generate_packets(
+        agents, landmarks, descs, duration=28.0, kf_rate=1.0, max_feats=60)
+
+    cfg = small_config()
+    cfg.async_optimize = True
+    cfg.optimize_period_s = 0.2
+    server = posegraph.CollaborativePoseGraph(voc, cfg)
+    try:
+        for _, _, _, pkt in packets:
+            server.add_keyframe(pkt)
+        server.flush(final=True)
+        assert server.clients[0].aligned and server.clients[1].aligned
+        assert server.solve_count >= 1
+        ate0, n0 = ate(server, gt, 0)
+        ate1, n1 = ate(server, gt, 1)
+        assert ate0 < 0.05, ate0
+        assert ate1 < 0.25, ate1
+    finally:
+        server.close()
+    assert server._opt_thread is None

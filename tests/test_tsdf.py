@@ -121,11 +121,29 @@ def test_carving_removes_floaters():
     assert w1[0] < w0[0]
 
 
-def test_chunk_allocation_bounded():
-    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=64)
+def test_chunk_pool_grows_past_initial_capacity():
+    """A small initial pool tier-doubles instead of silently dropping chunks
+    (the reference's chunk map grows unbounded, `ChunkManager.h:40-55`)."""
+    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=16)
     vol = tsdf.TsdfVolume(cfg)
     depth = np.full((H, W), 1.0)
     vol.integrate(depth, np.zeros((H, W, 3)), K, np.eye(3, dtype=np.float32),
                   np.zeros(3, np.float32))
-    assert len(vol.slot_of) <= 64
-    assert vol.pool.sdf.shape[0] == 64
+    assert len(vol.slot_of) > 16          # really needed more than one tier
+    assert vol.capacity >= len(vol.slot_of)
+    assert vol.pool.sdf.shape[0] == vol.capacity
+    assert vol.dropped_chunks == 0
+    # the grown pool still integrates correctly: surface voxel gets weight
+    sdf, w = vol.sdf_at(np.array([[0.0, 0.0, 1.0]]))
+    assert w[0] > 0
+
+
+def test_chunk_pool_max_capacity_counts_drops():
+    cfg = tsdf.TsdfConfig(voxel_size=0.05, capacity=16, max_capacity=16)
+    vol = tsdf.TsdfVolume(cfg)
+    depth = np.full((H, W), 1.0)
+    vol.integrate(depth, np.zeros((H, W, 3)), K, np.eye(3, dtype=np.float32),
+                  np.zeros(3, np.float32))
+    assert vol.capacity == 16
+    assert len(vol.slot_of) <= 16
+    assert vol.dropped_chunks > 0         # loss is visible, not silent

@@ -200,14 +200,7 @@ def _sgm_bidir_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
             kk = u - 1 - k if rev else k
             c = c_ref[kk].astype(jnp.float32)                 # (X, D)
             p2 = p2_ref[0, kk].astype(jnp.float32)[:, None]   # (X, 1)
-            first = (i == 0) & (k == 0)
 
-            @pl.when(first)
-            def _init():
-                carry_ref[:] = c
-                out_ref[kk] = c.astype(out_ref.dtype)
-
-            @pl.when(~first)
             def _step():
                 l_prev = carry_ref[:]
                 x = l_prev.shape[0]
@@ -221,6 +214,20 @@ def _sgm_bidir_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
                 l_new = c + cand - min_prev
                 carry_ref[:] = l_new
                 out_ref[kk] = l_new.astype(out_ref.dtype)
+
+            if k == 0:
+                # only the very first scan element initializes the carry;
+                # every other unrolled step is branch-free
+                first = i == 0
+
+                @pl.when(first)
+                def _init():
+                    carry_ref[:] = c
+                    out_ref[kk] = c.astype(out_ref.dtype)
+
+                pl.when(~first)(_step)
+            else:
+                _step()
 
     update(carry_f, cf_ref, pf_ref, of_ref, rev=False)
     update(carry_b, cb_ref, pb_ref, ob_ref, rev=True)
@@ -281,14 +288,7 @@ def _sgm_bidir_axis1_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
             kk = u - 1 - k if rev else k
             c = c_ref[:, kk].astype(jnp.float32)                # (H, D)
             p2 = p2_ref[kk].astype(jnp.float32)[:, None]        # (H, 1)
-            first = (i == 0) & (k == 0)
 
-            @pl.when(first)
-            def _init():
-                carry_ref[:] = c
-                out_ref[:, kk] = c.astype(out_ref.dtype)
-
-            @pl.when(~first)
             def _step():
                 l_prev = carry_ref[:]
                 h = l_prev.shape[0]
@@ -302,6 +302,18 @@ def _sgm_bidir_axis1_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
                 l_new = c + cand - min_prev
                 carry_ref[:] = l_new
                 out_ref[:, kk] = l_new.astype(out_ref.dtype)
+
+            if k == 0:
+                first = i == 0
+
+                @pl.when(first)
+                def _init():
+                    carry_ref[:] = c
+                    out_ref[:, kk] = c.astype(out_ref.dtype)
+
+                pl.when(~first)(_step)
+            else:
+                _step()
 
     update(carry_f, cf_ref, pf_ref, of_ref, rev=False)
     update(carry_b, cb_ref, pb_ref, ob_ref, rev=True)
@@ -376,39 +388,42 @@ def _sweep_kernel(meas_ref, refimg_ref, posx_ref, posy_ref, mx_ref, my_ref,
     bf16 = jnp.bfloat16
     meas = meas_ref[:]                      # (H, W) f32, aligned image
     h, w = meas.shape
-    px = posx_ref[0]                        # (1, W) — stay 2-D throughout
-    py = posy_ref[0]                        # (H, 1)   (Mosaic has no 1-D ops)
-
-    # row resample: rowp[h, p] = sum_x meas[h, x] * hat(px[p] - x)
+    db = out_ref.shape[0]                   # depths per grid step
     xio = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(f32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xio)).astype(bf16)
-    rowp = jnp.dot(meas.astype(bf16), wx, preferred_element_type=f32)
-    # column resample: warped[q, p] = sum_h hat(py[q] - h) * rowp[h, p]
     hio = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1).astype(f32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - hio)).astype(bf16)
-    warped = jnp.dot(wy, rowp.astype(bf16), preferred_element_type=f32)
 
-    # validity: hat support in-bounds + aligned-image quad membership
-    # (behind-camera depths carry px = py = -1e9, failing every test)
-    inb_x = (px >= 0.0) & (px <= w - 1.0)                   # (1, W)
-    inb_y = (py >= 0.0) & (py <= h - 1.0)                   # (H, 1)
-    mx = mx_ref[0]                          # (3, W)
-    my = my_ref[0]                          # (H, 3)
-    m0 = mx[0:1, :] + my[:, 0:1]                            # (H, W)
-    m1 = mx[1:2, :] + my[:, 1:2]
-    m2 = mx[2:3, :] + my[:, 2:3]
-    quad = ((m2 > 1e-6)
-            & (m0 >= 0.0) & (m0 <= (w - 1.0) * m2)
-            & (m1 >= 0.0) & (m1 <= (h - 1.0) * m2))
-    valid = quad & inb_x & inb_y
+    for s in range(db):
+        px = posx_ref[s]                    # (1, W) — stay 2-D throughout
+        py = posy_ref[s]                    # (H, 1)   (Mosaic has no 1-D ops)
 
-    ad = jnp.where(valid, jnp.abs(warped - refimg_ref[:]), 0.0)
-    num = _box3_edge(ad)
-    den = _box3_edge(valid.astype(f32))
-    cost = jnp.where(den > 0.0, num / jnp.maximum(den, 0.1), 0.0)
-    ok = den > 0.5                                           # >= half the patch
-    out_ref[0] = jnp.where(ok, jnp.maximum(cost, 0.0),
-                           -1.0).astype(out_ref.dtype)
+        # row resample: rowp[h, p] = sum_x meas[h, x] * hat(px[p] - x)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px - xio)).astype(bf16)
+        rowp = jnp.dot(meas.astype(bf16), wx, preferred_element_type=f32)
+        # column resample: warped[q, p] = sum_h hat(py[q] - h) * rowp[h, p]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py - hio)).astype(bf16)
+        warped = jnp.dot(wy, rowp.astype(bf16), preferred_element_type=f32)
+
+        # validity: hat support in-bounds + aligned-image quad membership
+        # (behind-camera depths carry px = py = -1e9, failing every test)
+        inb_x = (px >= 0.0) & (px <= w - 1.0)               # (1, W)
+        inb_y = (py >= 0.0) & (py <= h - 1.0)               # (H, 1)
+        mx = mx_ref[s]                      # (3, W)
+        my = my_ref[s]                      # (H, 3)
+        m0 = mx[0:1, :] + my[:, 0:1]                        # (H, W)
+        m1 = mx[1:2, :] + my[:, 1:2]
+        m2 = mx[2:3, :] + my[:, 2:3]
+        quad = ((m2 > 1e-6)
+                & (m0 >= 0.0) & (m0 <= (w - 1.0) * m2)
+                & (m1 >= 0.0) & (m1 <= (h - 1.0) * m2))
+        valid = quad & inb_x & inb_y
+
+        ad = jnp.where(valid, jnp.abs(warped - refimg_ref[:]), 0.0)
+        num = _box3_edge(ad)
+        den = _box3_edge(valid.astype(f32))
+        cost = jnp.where(den > 0.0, num / jnp.maximum(den, 0.1), 0.0)
+        ok = den > 0.5                                       # >= half the patch
+        out_ref[s] = jnp.where(ok, jnp.maximum(cost, 0.0),
+                               -1.0).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -427,19 +442,20 @@ def plane_sweep_pallas(ref: jax.Array, meas_al: jax.Array,
     """
     h, w = ref.shape
     d = pos_x.shape[0]
+    db = 1   # 2 depths/step overflows scoped VMEM in the fused pipeline context
     img_spec = pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _sweep_kernel,
-        grid=(d,),
+        grid=(d // db,),
         in_specs=[
             img_spec,                                            # meas_al
             img_spec,                                            # ref
-            pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0)),        # pos_x (1, W)
-            pl.BlockSpec((1, h, 1), lambda i: (i, 0, 0)),        # pos_y (H, 1)
-            pl.BlockSpec((1, 3, w), lambda i: (i, 0, 0)),        # mx (3, W)
-            pl.BlockSpec((1, h, 3), lambda i: (i, 0, 0)),        # my (H, 3)
+            pl.BlockSpec((db, 1, w), lambda i: (i, 0, 0)),       # pos_x (1, W)
+            pl.BlockSpec((db, h, 1), lambda i: (i, 0, 0)),       # pos_y (H, 1)
+            pl.BlockSpec((db, 3, w), lambda i: (i, 0, 0)),       # mx (3, W)
+            pl.BlockSpec((db, h, 3), lambda i: (i, 0, 0)),       # my (H, 3)
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((db, h, w), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((d, h, w), out_dtype),
         interpret=interpret,
     )(meas_al.astype(jnp.float32), ref.astype(jnp.float32),

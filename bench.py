@@ -21,6 +21,144 @@ import time
 import numpy as np
 
 
+def bench_fourdof():
+    """4-DoF pose-graph LM iterations/s at a 1024-keyframe window (the
+    reference's Ceres solve, 20 iters / 5 s cadence — BASELINE.md's
+    'BA iterations/s' server-side target)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cvids_tpu.server import optimizer as opt
+
+    n, lm_iters, cg_iters = 1024, 12, 60
+    rng = np.random.default_rng(0)
+    yaw_m = np.cumsum(rng.normal(0, 0.01, n)).astype(np.float32)
+    t_m = np.cumsum(rng.normal(0, 0.1, (n, 3)), 0).astype(np.float32)
+    pr = np.zeros((n, 2), np.float32)
+    valid = np.ones(n, bool)
+    fixed = np.zeros(n, bool)
+    fixed[0] = True
+    client = np.zeros(n, np.int32)
+    seq = opt.make_sequential_edges(
+        jnp.asarray(yaw_m), jnp.asarray(pr), jnp.asarray(t_m),
+        jnp.asarray(client), jnp.asarray(valid))
+    # 256 loop edges between random far-apart nodes (consistent with the
+    # drift-free measurement trajectory)
+    nl = 256
+    li = rng.integers(0, n // 2, nl).astype(np.int32)
+    lj = (li + rng.integers(n // 4, n // 2, nl)).astype(np.int32) % n
+    rz = lambda a: np.stack([np.cos(a), -np.sin(a), np.sin(a), np.cos(a)],
+                            -1).reshape(-1, 2, 2)
+    dyaw = yaw_m[lj] - yaw_m[li]
+    dt = t_m[lj] - t_m[li]
+    t_ij = np.einsum("nij,nj->ni", rz(-yaw_m[li]), dt[:, :2])
+    loops = opt.PoseGraphEdges(
+        i=jnp.asarray(li), j=jnp.asarray(lj),
+        t_ij=jnp.asarray(np.concatenate([t_ij, dt[:, 2:]], 1), jnp.float32),
+        yaw_ij=jnp.asarray(dyaw, jnp.float32),
+        t_weight=jnp.ones(nl), yaw_weight=jnp.full(nl, 0.1),
+        valid=jnp.ones(nl, bool), huber=jnp.full(nl, 0.1))
+    edges = opt.PoseGraphEdges(*[jnp.concatenate([a, b])
+                                 for a, b in zip(seq, loops)])
+    # drifted initial node states: the solve has real work to do
+    yaw0 = jnp.asarray(yaw_m + np.cumsum(rng.normal(0, 0.002, n)).astype(np.float32))
+    t0 = jnp.asarray(t_m + np.cumsum(rng.normal(0, 0.01, (n, 3)), 0).astype(np.float32))
+
+    reps = 4
+
+    @jax.jit
+    def solve_n(yaw0_, t0_, edges_):
+        def body(c, _):
+            nodes = opt.PoseGraphNodes(yaw0_ + c * 1e-12, jnp.asarray(pr),
+                                       t0_, jnp.asarray(valid), jnp.asarray(fixed))
+            out = opt.optimize_pose_graph(nodes, edges_, lm_iters, cg_iters)
+            return c + jnp.sum(out.t) * 1e-20, None
+        return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]
+
+    _ = float(solve_n(yaw0, t0, edges))
+    best = None
+    for _ in range(3):
+        t0_w = time.time()
+        _ = float(solve_n(yaw0, t0, edges))
+        dt_s = (time.time() - t0_w) / reps
+        best = dt_s if best is None else min(best, dt_s)
+    print(f"4dof solve: {best * 1000:.1f} ms for {lm_iters} LM iters "
+          f"@ {n} KFs / {nl + n * 6} edges", file=sys.stderr)
+    print(json.dumps({
+        "metric": "fourdof_lm_iters_per_s_1024kf",
+        "value": round(lm_iters / best, 1),
+        "unit": "LM iters/s",
+        "vs_baseline": round((lm_iters / best) / 4.0, 2),  # ref: 20 it / 5 s
+    }))
+
+
+def bench_window_ba():
+    """Sliding-window VI-BA solve time at the BASELINE.json CPU-ladder
+    config (20 keyframes / 150 landmarks), Schur-complement solver."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cvids_tpu.io import synthetic
+    from cvids_tpu.vio import imu as imu_mod
+    from cvids_tpu.vio import window_ba as ba
+
+    rng = np.random.default_rng(0)
+    traj = synthetic.Trajectory.circle(radius=5.0, omega=0.5)
+    seq = synthetic.generate_sequence(traj, duration=10.0, kf_rate=2.0,
+                                      num_landmarks=150, seed=0)
+    k = len(seq.times_kf)
+    nl = seq.landmarks.shape[0]
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    g, a, dts, v = synthetic.imu_slices(seq)
+    pre = jax.vmap(lambda gg, aa, dd, vv: imu_mod.preintegrate(
+        f32(gg), f32(aa), f32(dd), jnp.zeros(3), jnp.zeros(3),
+        sample_valid=jnp.asarray(vv)))(g, a, dts, v)
+    r_cb = jnp.asarray([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+    state = ba.WindowState(
+        p=f32(seq.p_gt + rng.normal(0, 0.1, (k, 3))), q=f32(seq.q_gt),
+        v=f32(seq.v_gt), bg=jnp.zeros((k, 3)), ba=jnp.zeros((k, 3)),
+        lm=f32(seq.landmarks + rng.normal(0, 0.1, (nl, 3))),
+        kf_valid=jnp.ones(k, bool), lm_valid=jnp.asarray(seq.vis.sum(0) >= 2))
+    import numpy as _np
+    from cvids_tpu.geometry import quat_to_matrix
+    r0 = _np.asarray(quat_to_matrix(f32(seq.q_gt[0])))
+    meas = ba.WindowMeasurements(
+        obs=f32(_np.nan_to_num(seq.obs)), vis=jnp.asarray(seq.vis),
+        pre=pre, pre_valid=jnp.ones(k - 1, bool), r_cb=r_cb, p_bc=jnp.zeros(3),
+        pix_weight=460.0, huber_delta=5.0, bias_weight=10.0, prior=None,
+        anchor_p=f32(seq.p_gt[0]),
+        anchor_yaw=jnp.asarray(_np.arctan2(r0[1, 0], r0[0, 0]), jnp.float32))
+
+    iters, reps = 10, 4
+
+    @jax.jit
+    def solve_n(st, ms):
+        def body(c, _):
+            st2 = st._replace(p=st.p + c * 1e-12)
+            out, cost = ba.solve_window_schur(st2, ms, iters=iters)
+            return c + cost * 1e-20, None
+        return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]
+
+    _ = float(solve_n(state, meas))
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        _ = float(solve_n(state, meas))
+        dt_s = (time.time() - t0) / reps
+        best = dt_s if best is None else min(best, dt_s)
+    print(f"window BA (k={k}, lm={nl}): {best * 1000:.1f} ms / {iters} iters",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "window_ba_solve_ms_20kf_150lm",
+        "value": round(best * 1000, 1),
+        "unit": "ms",
+        # reference agent budget: 0.04 s / 8 iterations (euroc_config.yaml:54-55)
+        "vs_baseline": round((0.04 / 8 * iters) / best, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -90,6 +228,14 @@ def main():
     assert abs(med - depth) < 0.4, f"depth sanity failed: {med} vs {depth}"
     print(f"median depth {med:.2f} (true {depth}), converged {okn.mean():.2f}",
           file=sys.stderr)
+
+    # solver-rate metrics (extra JSON lines; the dense headline stays LAST
+    # so single-line parsers keep picking it up)
+    for sub in (bench_fourdof, bench_window_ba):
+        try:
+            sub()
+        except Exception as e:   # a solver-bench failure must not kill the headline
+            print(f"{sub.__name__} failed: {e!r}", file=sys.stderr)
 
     baseline_fps = 40.0  # 4 agents x 10 Hz keyframes (reference operating point)
     print(json.dumps({

@@ -145,6 +145,20 @@ def _integrate_kernel(cfg: TsdfConfig, pool: ChunkPool,
     return pool
 
 
+def shard_pool(pool: ChunkPool, mesh, axis: str) -> ChunkPool:
+    """Place the pool's chunk axis across the device mesh.
+
+    SURVEY §2.3: OpenChisel integrates chunks with a 16-thread pool
+    (`Chisel.h:150-195`); here the chunk batches are disjoint, so the chunk
+    axis of `_integrate_kernel` shards cleanly — each device integrates its
+    resident chunks against the (replicated) depth/color frame with no
+    cross-device traffic beyond the scatter's bookkeeping."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    return ChunkPool(*(_jax.device_put(x, sh) for x in pool))
+
+
 class TsdfVolume:
     """Host-side chunk allocator + device pool — the `ChunkManager` role.
 

@@ -89,11 +89,18 @@ def write_euroc_sequence(
     acc_noise: float = 0.01,
     bg: tuple = (0.001, -0.001, 0.0005),
     ba: tuple = (0.005, -0.01, 0.02),
+    scene: dict | None = None,
 ) -> str:
     """Render one agent's sequence to `<root>/mav0/...`; returns `root`.
 
     `cam_rate` is the written camera rate (frames double as keyframes — for
     a full-rate dataset use 20.0 and a keyframe stride downstream).
+
+    `scene`: optional `render.default_scene`-style dict. When given, frames
+    are the ray-traced textured scene (through the camera's full distortion
+    model) with feature blobs splatted at landmarks sampled ON the scene
+    surfaces — one world consistent for both the sparse front-end and the
+    dense mapper (true depth is re-renderable via `render_textured_scene`).
     """
     if cfg is None:
         cfg = AgentConfig()
@@ -110,10 +117,13 @@ def write_euroc_sequence(
     # share it (same world_seed) while keeping per-agent sensor noise (seed)
     rng = np.random.default_rng((seed if world_seed is None else world_seed)
                                 + 77)
-    landmarks = np.stack([
-        rng.uniform(-landmark_box, landmark_box, num_landmarks),
-        rng.uniform(-landmark_box, landmark_box, num_landmarks),
-        rng.uniform(0.0, 3.5, num_landmarks)], -1)
+    if scene is not None:
+        landmarks = render.sample_scene_landmarks(num_landmarks, rng, scene)
+    else:
+        landmarks = np.stack([
+            rng.uniform(-landmark_box, landmark_box, num_landmarks),
+            rng.uniform(-landmark_box, landmark_box, num_landmarks),
+            rng.uniform(0.0, 3.5, num_landmarks)], -1)
     intens = rng.uniform(80, 200, num_landmarks)
 
     from PIL import Image
@@ -142,8 +152,13 @@ def write_euroc_sequence(
     cam_rows = []
     for i, t in enumerate(seq.times_kf):
         r_wb = np.asarray(quat_to_matrix(jnp.asarray(seq.q_gt[i], jnp.float32)))
+        base = None
+        if scene is not None:
+            r_wc = r_wb @ r_cb.T
+            t_wc = seq.p_gt[i] + r_wb @ p_bc
+            base, _ = render.render_textured_scene(cam, r_wc, t_wc, scene)
         img = render.render_blobs(cam, landmarks, intens, r_wb, seq.p_gt[i],
-                                  r_cb, p_bc)
+                                  r_cb, p_bc, base=base)
         ns = int(round(t * 1e9))
         name = f"{ns}.png"
         Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(

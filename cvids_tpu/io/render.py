@@ -52,16 +52,22 @@ def _render_patch(idx: int, rad: int, du: float, dv: float,
 def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
                  r_wb: np.ndarray, p_wb: np.ndarray,
                  r_cb: np.ndarray, p_bc: np.ndarray,
-                 sigma: float = 1.5, background: float = 20.0) -> np.ndarray:
+                 sigma: float = 1.5, background: float = 20.0,
+                 base: np.ndarray | None = None) -> np.ndarray:
     """Render (H, W) float image for body pose (r_wb, p_wb).
 
     Each landmark is splatted as its own textured patch (`_patch_params`),
     sized to cover the bulk of the BRIEF test pattern (taps ~ N(0, 9.6 px),
-    `ops.brief.brief_pattern`)."""
+    `ops.brief.brief_pattern`). `base`: optional background image to splat
+    onto (e.g. a ray-traced textured scene) instead of the flat gradient.
+    """
     h, w = cam.height, cam.width
-    img = np.full((h, w), background, np.float32)
-    # gentle background gradient so KLT has some signal everywhere
-    img += np.linspace(0, 10, w)[None, :]
+    if base is not None:
+        img = np.asarray(base, np.float32).copy()
+    else:
+        img = np.full((h, w), background, np.float32)
+        # gentle background gradient so KLT has some signal everywhere
+        img += np.linspace(0, 10, w)[None, :]
     pts_b = (landmarks - p_wb) @ r_wb  # world -> body
     pts_c = (pts_b - p_bc) @ r_cb.T
     z = pts_c[:, 2]
@@ -102,20 +108,69 @@ def default_scene():
                 box_hi=np.array([2.0, 1.5, 1.0]))
 
 
+def sample_scene_landmarks(n: int, rng, scene: dict | None = None,
+                           extent: float = 4.0) -> np.ndarray:
+    """Sample (n, 3) landmark positions ON the scene's surfaces (floor, wall,
+    box faces), so feature blobs splatted at them are geometrically
+    consistent with the ray-traced depth — required when the same rendered
+    frames feed both the sparse front-end and the dense mapper."""
+    if scene is None:
+        scene = default_scene()
+    lo, hi = scene["box_lo"], scene["box_hi"]
+    pts = []
+    kinds = rng.choice(3, n, p=[0.5, 0.35, 0.15])
+    for kind in kinds:
+        if kind == 0:     # floor z = floor_z
+            pts.append([rng.uniform(-extent, extent),
+                        rng.uniform(-extent, min(extent, scene["wall_y"])),
+                        scene["floor_z"]])
+        elif kind == 1:   # wall y = wall_y
+            pts.append([rng.uniform(-extent, extent), scene["wall_y"],
+                        rng.uniform(0.0, 2.5)])
+        else:             # box: one of the 4 side faces or the top
+            face = rng.integers(0, 5)
+            x = rng.uniform(lo[0], hi[0])
+            y = rng.uniform(lo[1], hi[1])
+            z = rng.uniform(lo[2], hi[2])
+            if face == 0:
+                pts.append([lo[0], y, z])
+            elif face == 1:
+                pts.append([hi[0], y, z])
+            elif face == 2:
+                pts.append([x, lo[1], z])
+            elif face == 3:
+                pts.append([x, hi[1], z])
+            else:
+                pts.append([x, y, hi[2]])
+    return np.asarray(pts, np.float64)
+
+
 def render_textured_scene(cam, r_wc: np.ndarray, t_wc: np.ndarray,
                           scene: dict | None = None):
     """Ray-trace the scene from camera pose (r_wc = cam axes in world,
     t_wc = camera origin). Returns (intensity (H, W), depth (H, W) z-depth,
-    0 where no hit). Pinhole only (no distortion applied)."""
+    0 where no hit).
+
+    Rays follow the camera's full model: when `cam` carries radtan
+    distortion, each pixel is lifted through the iterative undistortion
+    (`camera.pinhole.PinholeCamera.lift_to_ray`), so the rendered frames are
+    genuinely distorted imagery — the input regime the reference's dense
+    mapper undistorts per frame (`sgm_stereo_mapper.cpp:55-123,155-175`)."""
     if scene is None:
         scene = default_scene()
     h, w = cam.height, cam.width
-    k = np.array([[float(cam.fx), 0, float(cam.cx)],
-                  [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
-    kinv = np.linalg.inv(k)
     uu, vv = np.meshgrid(np.arange(w), np.arange(h))
-    rays = kinv @ np.stack([uu.ravel(), vv.ravel(), np.ones(h * w)])
-    rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+    px = np.stack([uu.ravel(), vv.ravel()], -1).astype(np.float32)
+    if np.any(np.asarray(cam.dist)):
+        import jax.numpy as jnp
+        rays = np.asarray(cam.lift_to_ray(jnp.asarray(px))).T  # (3, N) unit-z
+        rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+    else:
+        k = np.array([[float(cam.fx), 0, float(cam.cx)],
+                      [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
+        kinv = np.linalg.inv(k)
+        rays = kinv @ np.concatenate([px.T, np.ones((1, h * w))])
+        rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
     d_w = r_wc @ rn
     o = t_wc
     ts = np.full(h * w, np.inf)

@@ -70,6 +70,7 @@ class CollaborativeServer:
         self.images: dict[int, np.ndarray] = {}   # store index -> image
         self.dense_state: dict[int, _DenseClientState] = {}
         self.depth_maps_published = 0
+        self.last_depth: dict[int, dict] = {}   # client -> latest depth record
         self._client_k: dict[int, np.ndarray] = {}
         self._undistort_grid: dict[int, np.ndarray] = {}
         self._loop_overlay_pair: tuple | None = None
@@ -296,6 +297,11 @@ class CollaborativeServer:
         with self.tracer.span("mesh"):
             self.volume.integrate(depth, color, k, r_wc, t_wc)
         self.depth_maps_published += 1
+        # diagnostic record of the latest published depth (reference dumps
+        # these to disk; tests compare them against rendered ground truth)
+        self.last_depth[int(self.graph.store.client[ds.ref_index])] = {
+            "ref_index": ds.ref_index, "depth": depth, "k": k,
+            "r_wc": r_wc, "t_wc": t_wc}
 
     def _free_space(self, idx: int):
         """Release images of keyframes far behind every client's reference

@@ -263,17 +263,20 @@ def load_dbow_binary(path: str) -> TreeVocabulary:
     children = np.full((total, k), -1, np.int32)
     node_desc = np.zeros((total, 8), np.uint32)
     node_weight = np.zeros(total, np.float64)
-    child_count = np.zeros(total, np.int32)
     nid = nodes["nodeId"]
     pid = nodes["parentId"]
     node_desc[nid] = nodes["desc"].view(np.uint32).reshape(-1, 8)
     node_weight[nid] = nodes["weight"]
     # children in file order (the reference push_backs in this order, which
-    # fixes the tie-breaking order of the descent)
-    for i in range(n_nodes):
-        p = pid[i]
-        children[p, child_count[p]] = nid[i]
-        child_count[p] += 1
+    # fixes the tie-breaking order of the descent); vectorized stable
+    # group-by-parent cumcount — the python loop cost seconds at 10^6 nodes
+    order = np.argsort(pid, kind="stable")
+    ps = pid[order]
+    first = np.concatenate([[True], ps[1:] != ps[:-1]]) if n_nodes else \
+        np.zeros(0, bool)
+    start = np.maximum.accumulate(np.where(first, np.arange(n_nodes), 0))
+    slot = np.arange(n_nodes) - start
+    children[ps, slot] = nid[order]
 
     word_id = np.full(total, -1, np.int32)
     word_id[words["nodeId"]] = words["wordId"]
@@ -288,31 +291,31 @@ def save_dbow_binary(path: str, tree: TreeVocabulary) -> None:
     through `load_dbow_binary`; also lets our trained vocabularies be used
     by reference-stack consumers)."""
     total = tree.children.shape[0]
-    is_child = np.zeros(total, bool)
-    order = []
-    # emit nodes in BFS order, root (0) implicit
-    queue = [0]
-    while queue:
-        n = queue.pop(0)
-        for c in tree.children[n]:
-            if c >= 0:
-                order.append(int(c))
-                queue.append(int(c))
-        is_child[n] = True
+    # emit nodes in BFS order, root (0) implicit (vectorized level sweep —
+    # a python BFS queue costs O(n^2) pops at 10^6 nodes)
     parent_of = np.zeros(total, np.int32)
-    for n in range(total):
-        for c in tree.children[n]:
-            if c >= 0:
-                parent_of[c] = n
+    ch = tree.children
+    valid_ch = ch >= 0
+    parent_of[ch[valid_ch]] = np.repeat(np.arange(total), ch.shape[1])[
+        valid_ch.ravel()]
+    order = []
+    frontier = np.asarray([0], np.int64)
+    while len(frontier):
+        kids = ch[frontier].ravel()
+        kids = kids[kids >= 0]
+        order.append(kids)
+        frontier = kids
+    order = np.concatenate(order) if order else np.zeros(0, np.int64)
     node_dt = np.dtype([("nodeId", "<i4"), ("parentId", "<i4"),
                         ("weight", "<f8"), ("desc", "<u8", (4,))])
     nodes = np.zeros(len(order), node_dt)
-    for i, n in enumerate(order):
-        nodes[i]["nodeId"] = n
-        nodes[i]["parentId"] = parent_of[n]
-        w = tree.word_id[n]
-        nodes[i]["weight"] = float(tree.weights[w]) if w >= 0 else 0.0
-        nodes[i]["desc"] = tree.node_desc[n].view(np.uint64)
+    nodes["nodeId"] = order
+    nodes["parentId"] = parent_of[order]
+    w_of = tree.word_id[order]
+    nodes["weight"] = np.where(
+        w_of >= 0, tree.weights[np.maximum(w_of, 0)].astype(np.float64), 0.0)
+    nodes["desc"] = np.ascontiguousarray(
+        tree.node_desc[order]).view(np.uint64).reshape(-1, 4)
     word_nodes = np.nonzero(tree.word_id >= 0)[0]
     word_dt = np.dtype([("nodeId", "<i4"), ("wordId", "<i4")])
     words = np.zeros(len(word_nodes), word_dt)
@@ -413,51 +416,131 @@ def _sparse_scores(q_dense, db_ids, db_vals, db_valid):
     return jnp.where(db_valid, s, -1.0)
 
 
+@partial(jax.jit, static_argnames=("levels", "f"))
+def _sparse_bow_dev(children, node_desc, word_id, weights, desc, valid,
+                    levels: int, f: int):
+    """Device-side sparse BoW build: tree descent + duplicate-word merge +
+    tf-idf + L1 normalize + top-f truncation, all in one jit (the host
+    `sparse_bow` twin; no per-keyframe tree upload)."""
+    words = _quantize_tree(children, node_desc, word_id, desc, levels)
+    if valid is not None:
+        words = jnp.where(valid, words, -1)
+    n = max(words.shape[0], f)
+    words = jnp.concatenate(
+        [words, jnp.full(n - words.shape[0], -1, jnp.int32)])
+    w = jnp.sort(words)
+    first = jnp.concatenate([jnp.ones(1, bool), w[1:] != w[:-1]])
+    gid = jnp.cumsum(first) - 1                       # group index per element
+    live = w >= 0
+    counts = jnp.zeros(n, jnp.float32).at[gid].add(jnp.where(live, 1.0, 0.0))
+    uniq = jnp.full(n, -1, jnp.int32).at[gid].max(jnp.where(live, w, -1))
+    vals = counts * weights[jnp.maximum(uniq, 0)] * (uniq >= 0)
+    norm = jnp.sum(jnp.abs(vals))
+    vals = jnp.where(norm > 0, vals / norm, vals)
+    top_vals, top_idx = jax.lax.top_k(vals, f)
+    ids = jnp.where(top_vals > 0, uniq[top_idx], -1)
+    return ids, jnp.where(top_vals > 0, top_vals, 0.0)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _sparse_insert(ids, vals, idx, new_ids, new_vals):
+    return ids.at[idx].set(new_ids), vals.at[idx].set(new_vals)
+
+
+@partial(jax.jit, static_argnames=("num_words", "top_k"))
+def _sparse_query_topk(db_ids, db_vals, q_ids, q_vals, db_valid,
+                       num_words: int, top_k: int):
+    q_dense = jnp.zeros(num_words, jnp.float32).at[
+        jnp.maximum(q_ids, 0)].add(jnp.where(q_ids >= 0, q_vals, 0.0))
+    s = _sparse_scores(q_dense, db_ids, db_vals, db_valid)
+    return jax.lax.top_k(s, top_k)
+
+
 class SparseBowDatabase:
     """Fixed-capacity sparse-BoW keyframe database for large vocabularies
-    (the reference's inverted-index `BriefDatabase` at k=10 L=6 scale).
-    Query densifies only the query vector (W floats once) and gathers it at
-    the stored entries' word ids — the same touched-entries-only work the
-    inverted index does, as two array ops."""
+    (the reference's inverted-index `BriefDatabase` at k=10 L=6 scale,
+    `TemplatedDatabase.h:607-728`). Query densifies only the query vector
+    (W floats once, on device) and gathers it at the stored entries' word
+    ids — the same touched-entries-only work the inverted index does.
+
+    The vocabulary tree and the (N, F) id/value stores are device-resident:
+    per keyframe only the ~512 descriptors and a validity mask cross the
+    host boundary (at 10^6 words the tree alone is ~80 MB — re-uploading it
+    per query was the dominant large-vocabulary cost)."""
 
     def __init__(self, tree: TreeVocabulary, capacity: int = 4096,
                  words_per_frame: int = 256):
         self.tree = tree
         self.f = words_per_frame
-        self.ids = np.full((capacity, words_per_frame), -1, np.int32)
-        self.vals = np.zeros((capacity, words_per_frame), np.float32)
+        self.ids = jnp.full((capacity, words_per_frame), -1, jnp.int32)
+        self.vals = jnp.zeros((capacity, words_per_frame), jnp.float32)
         self.client = np.full(capacity, -1, np.int32)
         self.count = 0
+        self._dev = (jnp.asarray(tree.children), jnp.asarray(tree.node_desc),
+                     jnp.asarray(tree.word_id), jnp.asarray(tree.weights))
+
+    def _bow(self, descriptors, valid):
+        ch, nd, wi, wt = self._dev
+        return _sparse_bow_dev(ch, nd, wi, wt, jnp.asarray(descriptors),
+                               None if valid is None else jnp.asarray(valid),
+                               self.tree.levels, self.f)
 
     def add_descriptors(self, descriptors, client_id: int,
                         valid=None) -> int:
         if self.count >= len(self.client):
             # power-of-two growth, mirroring KeyframeStore._grow
-            self.ids = np.concatenate([self.ids, np.full_like(self.ids, -1)])
-            self.vals = np.concatenate([self.vals, np.zeros_like(self.vals)])
+            self.ids = jnp.concatenate([self.ids,
+                                        jnp.full_like(self.ids, -1)])
+            self.vals = jnp.concatenate([self.vals,
+                                         jnp.zeros_like(self.vals)])
             self.client = np.concatenate([self.client,
                                           np.full_like(self.client, -1)])
-        ids, vals = sparse_bow(self.tree, descriptors, valid, self.f)
+        ids, vals = self._bow(descriptors, valid)
         idx = self.count
-        self.ids[idx] = ids
-        self.vals[idx] = vals
+        self.ids, self.vals = _sparse_insert(self.ids, self.vals, idx,
+                                             ids, vals)
         self.client[idx] = client_id
         self.count += 1
         return idx
 
     def query(self, descriptors, query_client: int, exclude_recent: int = 10,
               top_k: int = 4, valid=None):
-        ids, vals = sparse_bow(self.tree, descriptors, valid, self.f)
-        q_dense = np.zeros(self.tree.num_words, np.float32)
-        sel = ids >= 0
-        q_dense[ids[sel]] = vals[sel]
+        q_ids, q_vals = self._bow(descriptors, valid)
         ok = np.arange(len(self.client)) < self.count
         same = self.client == query_client
         recent = np.arange(len(self.client)) >= max(self.count - exclude_recent, 0)
         ok &= ~(same & recent)
-        s = np.asarray(_sparse_scores(jnp.asarray(q_dense),
-                                      jnp.asarray(self.ids),
-                                      jnp.asarray(self.vals),
-                                      jnp.asarray(ok)))
-        order = np.argsort(-s)[:top_k]
-        return order, s[order]
+        s, order = _sparse_query_topk(self.ids, self.vals, q_ids, q_vals,
+                                      jnp.asarray(ok), self.tree.num_words,
+                                      top_k)
+        return np.asarray(order), np.asarray(s)
+
+
+def synthesize_tree_vocabulary(k: int = 10, levels: int = 5,
+                               seed: int = 0) -> TreeVocabulary:
+    """Reference-scale vocabulary without a training corpus: a complete
+    k-ary tree of `levels` levels (k=10, L=5 -> 10^5 words; L=6 -> the
+    reference's 10^6-word `brief_k10L6.bin` scale) whose node descriptors
+    are i.i.d. random bits — BRIEF bits are ~Bernoulli(0.5), so the descent
+    behaves like the real vocabulary for quantization cost and word-
+    distribution purposes. Weights are uniform (idf of an unseen corpus).
+    """
+    rng = np.random.default_rng(seed)
+    counts = [k ** (l + 1) for l in range(levels)]
+    offsets = np.concatenate([[1], 1 + np.cumsum(counts)])
+    total = int(offsets[-1])
+    children = np.full((total, k), -1, np.int32)
+    node_desc = rng.integers(0, 2 ** 32, (total, 8), dtype=np.uint32)
+    word_id = np.full(total, -1, np.int32)
+    children[0, :] = np.arange(1, 1 + k)
+    for l in range(1, levels):
+        pbase, base = offsets[l - 1], offsets[l]
+        n_par = counts[l - 1]
+        children[pbase:pbase + n_par] = (
+            base + np.arange(n_par)[:, None] * k + np.arange(k)[None, :])
+    leaf_base = offsets[levels - 1]
+    word_id[leaf_base:leaf_base + counts[-1]] = np.arange(counts[-1])
+    n_words = int(counts[-1])
+    weights = np.full(n_words, 1.0, np.float32)
+    return TreeVocabulary(children, node_desc, word_id, weights, k, levels,
+                          n_words)

@@ -50,9 +50,28 @@ def make_packets():
     return voc, packets
 
 
-def run_mode(voc, packets, name, **cfg_kw):
+def run_mode(voc, packets, name, report_query_ms=False, **cfg_kw):
     server = posegraph.CollaborativePoseGraph(
         voc, posegraph.ServerConfig(kf_capacity=2048, **cfg_kw))
+    if report_query_ms:
+        # isolated BoW query latency at this vocabulary scale (separate
+        # database instance: the server's db indices must track its store)
+        import jax.numpy as jnp
+        pkt0 = packets[0][3]
+        db = vocab.SparseBowDatabase(voc, capacity=2048)
+        d = jnp.asarray(pkt0.ext_desc)
+        v = jnp.asarray(pkt0.ext_valid)
+        db.add_descriptors(d, 0, valid=v)
+        db.query(d, 1, valid=v)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            db.query(d, 1, valid=v)
+        q_ms = (time.perf_counter() - t0) / 50 * 1e3
+        mem_mb = (sum(a.nbytes for a in (voc.children, voc.node_desc,
+                                         voc.word_id, voc.weights))
+                  + db.ids.nbytes + db.vals.nbytes) / 2 ** 20
+        print(f"[{name}] {voc.num_words} words: query {q_ms:.2f} ms/KF, "
+              f"tree+db memory {mem_mb:.0f} MB")
     # warm the jits on the first few packets
     for _, _, _, pkt in packets[:16]:
         server.add_keyframe(pkt)
@@ -83,6 +102,12 @@ def main():
     fps_sync = run_mode(voc, packets, "sync")
     print(f"async {fps_async:.1f} kf/s vs sync {fps_sync:.1f} kf/s "
           f"(overlap win {fps_async / max(fps_sync, 1e-9):.2f}x)")
+    # reference vocabulary scale: 10^5 and 10^6 words through the sparse
+    # inverted-index-style database (`TemplatedDatabase.h:607-728` regime)
+    for levels in (5, 6):
+        tree = vocab.synthesize_tree_vocabulary(k=10, levels=levels, seed=0)
+        run_mode(tree, packets, f"tree-10^{levels}", report_query_ms=True,
+                 async_optimize=True, optimize_period_s=5.0)
 
 
 if __name__ == "__main__":

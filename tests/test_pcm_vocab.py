@@ -148,3 +148,33 @@ def test_dbow_binary_roundtrip_and_sparse_db(rng, tmp_path):
     idx, scores = db.query(noisy, query_client=1, exclude_recent=2, top_k=3)
     assert idx[0] == 2, (idx, scores)
     assert scores[0] > scores[1] + 0.05
+
+
+def test_synthesized_vocabulary_at_scale(tmp_path, rng):
+    """Reference-scale vocabulary mechanics: a synthesized 10^5-word k=10
+    tree quantizes, round-trips the DBoW2 binary format exactly, and serves
+    retrieval through the sparse database (VERDICT r2 item 6)."""
+    import jax.numpy as jnp
+    tree = vocab.synthesize_tree_vocabulary(k=10, levels=5, seed=0)
+    assert tree.num_words == 10 ** 5
+    # binary round trip (the brief_k10L6.bin format at real node counts)
+    path = str(tmp_path / "synth_k10L5.bin")
+    vocab.save_dbow_binary(path, tree)
+    tree2 = vocab.load_dbow_binary(path)
+    assert tree2.num_words == tree.num_words
+    desc = rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint32)
+    w1 = np.asarray(vocab.quantize_tree(tree, jnp.asarray(desc)))
+    w2 = np.asarray(vocab.quantize_tree(tree2, jnp.asarray(desc)))
+    np.testing.assert_array_equal(w1, w2)
+    assert (w1 >= 0).all() and w1.max() < tree.num_words
+    # retrieval: a frame must retrieve itself decisively over others
+    db = vocab.SparseBowDatabase(tree, capacity=64)
+    frames = [rng.integers(0, 2 ** 32, (128, 8), dtype=np.uint32)
+              for _ in range(6)]
+    for i, f in enumerate(frames):
+        db.add_descriptors(jnp.asarray(f), client_id=0)
+    idx, scores = db.query(jnp.asarray(frames[2]), query_client=1,
+                           exclude_recent=0)
+    assert idx[0] == 2
+    assert scores[0] > 0.99
+    assert scores[1] < 0.5 * scores[0]

@@ -195,7 +195,7 @@ def render_textured_scene(cam, r_wc: np.ndarray, t_wc: np.ndarray,
     ts = np.where(hit_box, np.minimum(ts, tn), ts)
 
     hit = np.isfinite(ts)
-    pts = o[None, :] + ts[:, None] * d_w.T
+    pts = o[None, :] + np.where(hit, ts, 0.0)[:, None] * d_w.T
     inten = np.where(hit, _value_noise(pts), 15.0)
     depth = np.where(hit, ts * rn[2], 0.0)
     return (inten.reshape(h, w).astype(np.float32),

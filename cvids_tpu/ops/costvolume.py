@@ -27,10 +27,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .image import bilinear_sample, projective_warp_mxu
 
-__all__ = ["plane_sweep_cost", "accumulate_cost", "warp_coords"]
+__all__ = ["plane_sweep_cost", "accumulate_cost", "warp_coords",
+           "warp_shift_bounds_np"]
 
 
 def warp_coords(a_mat: jax.Array, b_vec: jax.Array, inv_depths: jax.Array,
@@ -134,11 +136,37 @@ def _sweep_positions(a_mat: jax.Array, b_vec: jax.Array, inv_depths: jax.Array,
     return pos_x, pos_y, mx, my
 
 
+def warp_shift_bounds_np(a_mat: np.ndarray, height: int, width: int,
+                         step: int = 16) -> tuple[float, float]:
+    """Host-side bound on the alignment warp's per-pass shifts (max |g - u|,
+    max |y_in - v| over a coarse pixel grid) — the pipeline uses it to pick
+    the banded-shift warp kernel vs the exact matmul warp per frame."""
+    m = np.asarray(a_mat, np.float64)
+    u = np.arange(0, width, step, dtype=np.float64)
+    v = np.arange(0, height, step, dtype=np.float64)
+    r = v
+    den_v = m[1, 1] - r * m[2, 1]
+    deg = np.abs(den_v) < 1e-3
+    safe = np.where(deg, 1.0, den_v)
+    v_ur = ((r[:, None] * (m[2, 0] * u[None, :] + m[2, 2])
+             - m[1, 0] * u[None, :] - m[1, 2]) / safe[:, None])
+    zd = m[2, 0] * u[None, :] + m[2, 1] * v_ur + m[2, 2]
+    zd = np.where(np.abs(zd) > 1e-6, zd, 1e-6)
+    g = (m[0, 0] * u[None, :] + m[0, 1] * v_ur + m[0, 2]) / zd
+    dx = np.abs(g - u[None, :])[~deg[:, None] & np.ones_like(g, bool)]
+    zz = m[2, 0] * u[None, :] + m[2, 1] * v[:, None] + m[2, 2]
+    zz = np.where(np.abs(zz) > 1e-6, zz, 1e-6)
+    y_in = (m[1, 0] * u[None, :] + m[1, 1] * v[:, None] + m[1, 2]) / zz
+    dy = np.abs(y_in - v[:, None])
+    return (float(dx.max()) if dx.size else np.inf, float(dy.max()))
+
+
 def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
                      a_mat: jax.Array, b_vec: jax.Array,
                      inv_depths: jax.Array,
                      out_dtype=None,
-                     use_pallas: bool | None = None) -> tuple[jax.Array, jax.Array]:
+                     use_pallas: bool | None = None,
+                     banded_warp: bool | None = None) -> tuple[jax.Array, jax.Array]:
     """One measurement frame's cost slice — MXU formulation (gather-free).
 
     ref, meas: (H, W) float intensity images. a_mat = K₂R₂₁K₁⁻¹ (3,3),
@@ -158,19 +186,28 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
     f32 = jnp.float32
     cdt = f32 if out_dtype is None else out_dtype
 
-    # --- align: meas_aligned(x) = meas(A x) via the two-pass MXU warp
-    # (returns image·coverage and coverage); renormalize ONCE on the (H, W)
-    # image — interior coverage is exactly 1, boundary pixels are excluded
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and w % 128 == 0 and h % 8 == 0)
+    if banded_warp is None:
+        # the dense mapper fuses CONSECUTIVE keyframes (small rotations), so
+        # the banded kernel covers it; callers with arbitrary homographies
+        # should gate on `warp_shift_bounds_np` explicitly
+        banded_warp = use_pallas
+
+    # --- align: meas_aligned(x) = meas(A x) via the two-pass warp (returns
+    # image·coverage and coverage); renormalize ONCE on the (H, W) image —
+    # interior coverage is exactly 1, boundary pixels are excluded
     # analytically below, so no per-hypothesis division is ever needed
-    meas_cov, cov_pw = projective_warp_mxu(meas.astype(f32), a_mat)
+    if banded_warp and use_pallas:
+        from .pallas_kernels import projective_warp_banded
+        meas_cov, cov_pw = projective_warp_banded(meas.astype(f32), a_mat)
+    else:
+        meas_cov, cov_pw = projective_warp_mxu(meas.astype(f32), a_mat)
     meas_al = meas_cov / jnp.maximum(cov_pw, 1e-3)
 
     pos_x, pos_y, mx, my = _sweep_positions(a_mat, b_vec, inv_depths, h, w)
     depth_ok = pos_x[:, 0] > -1e8   # -1e9 marks behind-camera planes
-
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and w % 128 == 0 and h % 8 == 0)
     if use_pallas:
         # fused per-depth Pallas kernel: interpolation-matrix generation, the
         # two banded matmuls, validity, AD, and the 3x3 box aggregation all

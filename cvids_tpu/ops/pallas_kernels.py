@@ -354,6 +354,110 @@ def sgm_scan_bidir_axis1(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Banded-shift projective warp (the alignment warp of the plane sweep)
+# ---------------------------------------------------------------------------
+#
+# The two-pass projective warp's exact MXU formulation materializes ~1 GB of
+# hat-weight tensors per frame ((H, W, W) + (W, H, H)). In the dense mapper's
+# operating regime (consecutive keyframes of one client) the warp positions
+# deviate from identity by a BOUNDED shift, so each 1-D resampling pass is a
+# static fan of 2*band+1 shifted taps with VMEM-resident weights — no weight
+# tensor ever exists. Samples whose shift exceeds the band lose coverage
+# (cov = 0) instead of going wrong, so correctness never depends on the
+# bound; extreme rotations just fall back to the exact matmul path
+# (`ops.image.projective_warp_mxu`) chosen by the caller.
+
+
+def _warp_rows_kernel(imgp_ref, pos_ref, out_ref, cov_ref, *, band):
+    # imgp: (th, W + 2*band) zero-padded rows; pos: (th, W) absolute source x
+    pos = pos_ref[:]
+    th, w = pos.shape
+    f32 = jnp.float32
+    uio = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1).astype(f32)
+    delta = pos - uio
+
+    # static tap unroll, accumulating IN the output refs: carrying the
+    # accumulators as values makes Mosaic keep every unrolled temporary
+    # live (193 taps x (th, W) f32 = scoped-VMEM OOM), and dynamic lane
+    # slices (fori_loop + pl.ds) are not lowerable
+    out_ref[:] = jnp.zeros((th, w), f32)
+    cov_ref[:] = jnp.zeros((th, w), f32)
+    for k in range(2 * band + 1):
+        off = k - band
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(delta - off))
+        out_ref[:] = out_ref[:] + wk * imgp_ref[:, k:k + w]
+        xin = (uio >= -off) & (uio <= w - 1 - off)   # tap inside [0, W-1]
+        cov_ref[:] = cov_ref[:] + jnp.where(xin, wk, 0.0)
+
+
+def _warp_cols_kernel(tmpp_ref, covp_ref, pos_ref, out_ref, cov_ref, *, band):
+    # tmpp/covp: (H + 2*band, tw) zero-padded columns; pos: (H, tw) source y
+    pos = pos_ref[:]
+    h, tw = pos.shape
+    f32 = jnp.float32
+    vio = jax.lax.broadcasted_iota(jnp.int32, (h, tw), 0).astype(f32)
+    delta = pos - vio
+
+    out_ref[:] = jnp.zeros((h, tw), f32)
+    cov_ref[:] = jnp.zeros((h, tw), f32)
+    for k in range(2 * band + 1):
+        off = k - band
+        wk = jnp.maximum(0.0, 1.0 - jnp.abs(delta - off))
+        out_ref[:] = out_ref[:] + wk * tmpp_ref[k:k + h, :]
+        cov_ref[:] = cov_ref[:] + wk * covp_ref[k:k + h, :]
+
+
+@partial(jax.jit, static_argnames=("band_x", "band_y", "interpret"))
+def projective_warp_banded(img: jax.Array, m: jax.Array,
+                           band_x: int = 96, band_y: int = 48,
+                           interpret: bool = False):
+    """Banded-shift twin of `ops.image.projective_warp_mxu`: identical
+    contract — returns (warped·coverage, coverage) — wherever the per-pass
+    shifts stay within (band_x, band_y); larger shifts yield coverage 0."""
+    from .image import warp_pass_positions
+
+    h, w = img.shape
+    f32 = jnp.float32
+    img = img.astype(f32)
+    g, y_in = warp_pass_positions(m, h, w)
+
+    th = 32
+    while h % th != 0:
+        th //= 2
+    imgp = jnp.pad(img, ((0, 0), (band_x, band_x)))
+    tmp, cov1 = pl.pallas_call(
+        partial(_warp_rows_kernel, band=band_x),
+        grid=(h // th,),
+        in_specs=[
+            pl.BlockSpec((th, w + 2 * band_x), lambda i: (i, 0)),
+            pl.BlockSpec((th, w), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((th, w), lambda i: (i, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((h, w), f32)] * 2,
+        interpret=interpret,
+    )(imgp, g)
+
+    tw = 128
+    while w % tw != 0:
+        tw //= 2
+    tmpp = jnp.pad(tmp, ((band_y, band_y), (0, 0)))
+    covp = jnp.pad(cov1, ((band_y, band_y), (0, 0)))
+    out, cov = pl.pallas_call(
+        partial(_warp_cols_kernel, band=band_y),
+        grid=(w // tw,),
+        in_specs=[
+            pl.BlockSpec((h + 2 * band_y, tw), lambda i: (0, i)),
+            pl.BlockSpec((h + 2 * band_y, tw), lambda i: (0, i)),
+            pl.BlockSpec((h, tw), lambda i: (0, i)),
+        ],
+        out_specs=[pl.BlockSpec((h, tw), lambda i: (0, i))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((h, w), f32)] * 2,
+        interpret=interpret,
+    )(tmpp, covp, y_in)
+    return out, cov
+
+
+# ---------------------------------------------------------------------------
 # Fused plane-sweep cost kernel
 # ---------------------------------------------------------------------------
 #

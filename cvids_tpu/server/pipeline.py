@@ -233,9 +233,16 @@ class CollaborativeServer:
         t_mr = r_wc_new.T @ (t_wc_ref - t_wc_new)
         a_mat = k @ r_mr @ np.linalg.inv(k)
         b_vec = k @ t_mr
+        # alignment-warp kernel choice: the banded-shift kernel covers the
+        # usual consecutive-keyframe rotations; large-rotation frames take
+        # the exact matmul warp (host-side decision, a_mat is numpy here)
+        from ..ops.costvolume import warp_shift_bounds_np
+        dx, dy = warp_shift_bounds_np(a_mat, cfg.dense.height, cfg.dense.width)
+        banded = bool(dx < 94.0 and dy < 46.0)
         ds.state = estimator.fuse_measurement(
             cfg.dense, ds.state, self._undistort(cid, pkt.image),
-            jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32))
+            jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32),
+            banded_warp=banded)
         ds.fused += 1
         ds.since_ref += 1
         if ds.fused >= cfg.min_fused_frames and ds.since_ref >= cfg.ref_advance:

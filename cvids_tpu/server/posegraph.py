@@ -77,6 +77,9 @@ class ServerConfig:
     bow_rel_gate: float = 0.5
     exclude_recent: int = 10
     min_gap: int = 10                 # frame-index gap before a loop counts
+    # candidates geometrically verified per keyframe, oldest first (the
+    # reference verifies 1; >1 recovers recall when BoW ranking is flat)
+    max_loop_candidates: int = 3
     min_loop_matches: int = 15        # MIN_LOOP_NUM (`server_keyframe.h:24`)
     max_loop_yaw_deg: float = 40.0    # `server_keyframe.cpp:692`
     max_loop_t: float = 40.0
@@ -326,25 +329,28 @@ class CollaborativePoseGraph:
             self.db.add(vec, cid)
 
         info = {"index": idx, "loop": False, "aligned_event": False}
-        old = self._select_loop_candidate(idx, cid, cand_idx, cand_score)
-        if old is None and cfg.covis_check and self.clients[cid].aligned:
-            old = self._covisibility_candidate(idx, cid)
-        if old is not None:
+        cands = self._select_loop_candidates(idx, cid, cand_idx, cand_score)
+        if not cands and cfg.covis_check and self.clients[cid].aligned:
+            covis = self._covisibility_candidate(idx, cid)
+            cands = [] if covis is None else [covis]
+        for old in cands[:cfg.max_loop_candidates]:
             edge = self._find_connection(idx, old)
-            if edge is not None:
-                info["loop"] = True
-                info["loop_with"] = old
-                inter = self.store.client[old] != cid
-                aligned_new = self.clients[cid].aligned
-                aligned_old = self.clients[self.store.client[old]].aligned
-                if inter and aligned_old and not aligned_new:
-                    self._align_submap(cid, old, idx, edge, flip=False)
-                    info["aligned_event"] = True
-                elif inter and aligned_new and not aligned_old:
-                    self._align_submap(int(self.store.client[old]), old, idx,
-                                       edge, flip=True)
-                    info["aligned_event"] = True
-                self._record_loop(old, idx, edge, bool(inter))
+            if edge is None:
+                continue
+            info["loop"] = True
+            info["loop_with"] = old
+            inter = self.store.client[old] != cid
+            aligned_new = self.clients[cid].aligned
+            aligned_old = self.clients[self.store.client[old]].aligned
+            if inter and aligned_old and not aligned_new:
+                self._align_submap(cid, old, idx, edge, flip=False)
+                info["aligned_event"] = True
+            elif inter and aligned_new and not aligned_old:
+                self._align_submap(int(self.store.client[old]), old, idx,
+                                   edge, flip=True)
+                info["aligned_event"] = True
+            self._record_loop(old, idx, edge, bool(inter))
+            break
 
         self._since_optimize += 1
         if self._since_optimize >= cfg.optimize_every and self.loop_count > 0:
@@ -375,9 +381,15 @@ class CollaborativePoseGraph:
         cand = np.nonzero(ok)[0]
         return int(cand[np.argmin(d[cand])])
 
-    def _select_loop_candidate(self, idx, cid, cand_idx, cand_score):
+    def _select_loop_candidates(self, idx, cid, cand_idx, cand_score):
         """Reference gates: score threshold (inter vs intra), min frame gap,
-        oldest qualifying candidate (`server_pose_graph.cpp:971-1062`)."""
+        oldest qualifying candidate first (`server_pose_graph.cpp:971-1062`).
+
+        Returns the qualifying candidates oldest-first (the reference
+        verifies only the first; trying the next ones when geometric
+        verification rejects costs nothing in reference semantics — an
+        accepted loop still passed the exact same verification — and
+        recovers recall when a flat BoW score ranks a wrong frame oldest)."""
         cfg = self.cfg
         qualifying = []
         for k, s in zip(cand_idx, cand_score):
@@ -393,9 +405,9 @@ class CollaborativePoseGraph:
                 continue
             qualifying.append((k, float(s)))
         if not qualifying:
-            return None
+            return []
         top = max(s for _, s in qualifying)
-        return min(k for k, s in qualifying if s >= cfg.bow_rel_gate * top)
+        return sorted(k for k, s in qualifying if s >= cfg.bow_rel_gate * top)
 
     def _find_connection(self, j: int, i: int):
         """Verify candidate loop (new j, old i). Returns dict with the

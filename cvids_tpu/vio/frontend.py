@@ -52,9 +52,12 @@ class AgentFrontend:
         # tracked-feature capacity = `max_cnt` (euroc_config.yaml:44);
         # landmark slots are a separate, larger pool: features churn as they
         # leave the FOV but their landmarks stay observable by the rest of
-        # the window, so the window can hold ~2x live landmarks
+        # the window. Under fast rotation the churn reaches ~0.3x max_cnt
+        # fresh features per keyframe, so an 8-frame window needs ~
+        # (1 + 0.3 * 8) x max_cnt slots; 4x covers it (2x measured as slot
+        # exhaustion -> new features silently dropped -> loop PnP starved)
         self.MAX_FEAT = mf = int(cfg.max_features)
-        self.MAX_LM = ml = 2 * mf
+        self.MAX_LM = ml = 4 * mf
         self.feat_xy = np.zeros((mf, 2), np.float32)
         self.feat_id = np.full(mf, -1, np.int64)
         self.feat_valid = np.zeros(mf, bool)
@@ -80,6 +83,22 @@ class AgentFrontend:
         self._prior: ba.PriorFactor | None = None  # marginalization prior
         self._post_boot = 0        # keyframes solved since the VI bootstrap
         self._sfm_rng = jax.random.PRNGKey(4242)   # pre-init RANSAC stream
+
+        # one fused jit for the packet's image work (blur + window BRIEF +
+        # FAST + full-image BRIEF + undistort-lift) on fixed-capacity arrays
+        cell = max(8, cfg.min_feature_dist // 2)
+        max_ext = self.MAX_FEAT * 2
+
+        def _emit_compute(img, win_px, thresh):
+            blurred = brief.gaussian_blur(img, 2.0, radius=4)
+            wdesc = brief.compute_brief(blurred, win_px, pre_blurred=True)
+            score = fast.fast_score_map(img, thresh)
+            kps = fast.select_keypoints(score, max_num=max_ext, cell=cell)
+            edesc = brief.compute_brief(blurred, kps.xy, pre_blurred=True)
+            euv = self.cam.lift(kps.xy)
+            return wdesc, kps.xy, kps.valid, edesc, euv
+
+        self._emit_compute = jax.jit(_emit_compute)
 
     # ---------- feature maintenance ----------
 
@@ -627,26 +646,28 @@ class AgentFrontend:
         pts3d = lm_all[idxs]
         uv = self.obs[slot][idxs]
         ids = self.lm_id[idxs]
-        # descriptors at current pixel positions of those features
+        # descriptors at current pixel positions of those features; the blur
+        # + BRIEF + FAST + lift chain runs as ONE jitted program on padded
+        # fixed-capacity keypoint arrays — calling the eager ops with the
+        # frame's variable keypoint count recompiled ~100 XLA executables
+        # per keyframe (measured: the dominant front-end cost AND an mmap
+        # exhaustion over long runs)
         img_j = jnp.asarray(image, jnp.float32)
-        blurred = brief.gaussian_blur(img_j, 2.0, radius=4)
         px = np.array([self.feat_xy[feat_lookup[i]] for i in ids],
                       np.float32).reshape(-1, 2)
-        desc = np.asarray(brief.compute_brief(blurred, jnp.asarray(px),
-                                              pre_blurred=True)) \
-            if len(px) else np.zeros((0, 8), np.uint32)
-        # extra full-image features for the server's loop matcher
-        score = fast.fast_score_map(img_j, self.cfg.fast_threshold)
-        kps = fast.select_keypoints(score, max_num=self.MAX_FEAT * 2,
-                                    cell=max(8, self.cfg.min_feature_dist // 2))
-        ext_xy = np.asarray(kps.xy)
-        ext_ok = np.array(kps.valid)
+        px_pad = np.zeros((self.MAX_FEAT, 2), np.float32)
+        px_pad[:len(px)] = px
+        wdesc, ext_xy_j, ext_ok_j, ext_desc_j, ext_uv_j = self._emit_compute(
+            img_j, jnp.asarray(px_pad),
+            jnp.asarray(self.cfg.fast_threshold, jnp.float32))
+        desc = np.asarray(wdesc)[:len(px)]
+        ext_xy = np.asarray(ext_xy_j)
+        ext_ok = np.array(ext_ok_j)   # writable copy
         bmargin = brief.PATCH_HALF + 1
         ext_ok &= ((ext_xy[:, 0] >= bmargin) & (ext_xy[:, 0] < image.shape[1] - bmargin)
                    & (ext_xy[:, 1] >= bmargin) & (ext_xy[:, 1] < image.shape[0] - bmargin))
-        ext_desc = np.asarray(brief.compute_brief(blurred, jnp.asarray(ext_xy),
-                                                  pre_blurred=True))
-        ext_uv = np.asarray(self.cam.lift(jnp.asarray(ext_xy)))
+        ext_desc = np.asarray(ext_desc_j)
+        ext_uv = np.asarray(ext_uv_j)
         return KeyframePacket(
             client_id=self.client_id, timestamp=timestamp,
             p_wb=p, q_wb=q, r_cb=self.r_cb, p_bc=self.p_bc,

@@ -34,6 +34,11 @@ N = 20
 
 
 def timeit(name, step, carry0):
+    # CAVEAT: the step closures capture meas/a_mat as jit constants, which
+    # the AOT runtime re-materializes once per scan iteration (~0.45 ms of
+    # phantom per-frame cost, measured via a no-op body). Stage DELTAS are
+    # unaffected (every stage pays it equally); absolute ms are inflated —
+    # bench.py passes everything as arguments and is the honest headline.
     g = jax.jit(lambda c: lax.scan(lambda s, _: (step(s), None), c, None,
                                    length=N)[0])
     out = g(carry0)

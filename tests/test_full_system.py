@@ -60,8 +60,8 @@ def test_full_system_distorted_pixels_to_mesh(tmp_path):
                                            speed_mod=0.3, speed_mod_freq=0.9)
         root = str(tmp_path / f"agent{cid}")
         euroc_synth.write_euroc_sequence(
-            root, cfg=cfg_agent, trajectory=traj, duration=7.0, cam_rate=2.0,
-            imu_rate=200.0, num_landmarks=900, seed=21 + cid, world_seed=7,
+            root, cfg=cfg_agent, trajectory=traj, duration=8.0, cam_rate=2.5,
+            imu_rate=200.0, num_landmarks=1400, seed=21 + cid, world_seed=7,
             scene=SCENE)
         roots.append(root)
 

@@ -25,7 +25,7 @@ CACHE = "/tmp/fullsys_world"
 
 def build():
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16)
+                            min_feature_dist=16, max_features=120)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         traj = synthetic.Trajectory.circle(radius=1.5, omega=0.5,
@@ -35,8 +35,8 @@ def build():
         root = os.path.join(CACHE, f"agent{cid}")
         if not euroc.available(root):
             euroc_synth.write_euroc_sequence(
-                root, cfg=cfg_agent, trajectory=traj, duration=8.0,
-                cam_rate=2.5, imu_rate=200.0, num_landmarks=1400,
+                root, cfg=cfg_agent, trajectory=traj, duration=13.0,
+                cam_rate=2.0, imu_rate=200.0, num_landmarks=1400,
                 seed=21 + cid, world_seed=7, scene=SCENE)
         roots.append(root)
     return roots

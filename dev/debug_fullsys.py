@@ -25,7 +25,7 @@ CACHE = "/tmp/fullsys_world"
 
 def build():
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16, max_features=120)
+                            min_feature_dist=16)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         traj = synthetic.Trajectory.circle(radius=1.5, omega=0.5,
@@ -35,9 +35,10 @@ def build():
         root = os.path.join(CACHE, f"agent{cid}")
         if not euroc.available(root):
             euroc_synth.write_euroc_sequence(
-                root, cfg=cfg_agent, trajectory=traj, duration=13.0,
-                cam_rate=2.0, imu_rate=200.0, num_landmarks=1400,
-                seed=21 + cid, world_seed=7, scene=SCENE)
+                root, cfg=cfg_agent, trajectory=traj, duration=8.0,
+                cam_rate=2.5, imu_rate=200.0, num_landmarks=1400,
+                seed=21 + cid, world_seed=7, scene=SCENE,
+                gyr_noise=2e-4, acc_noise=0.005)
         roots.append(root)
     return roots
 
@@ -104,6 +105,14 @@ def main():
             tag = f"fc_fail {server._fc_fail}"
         print(f"kf {idx} (agent {p.client_id}): {tag}")
     print(f"loops: {server.loop_count}")
+    server.optimize()
+    for cid, seq in enumerate(seqs):
+        tr = server.trajectory(cid)
+        gt_p = np.stack([np.interp(tr[:, 0], seq.gt_t, seq.gt_p[:, k])
+                         for k in range(3)], -1)
+        print(f"agent {cid} post-optimize ATE sim3 "
+              f"{ate_rmse(tr[:, 1:4], gt_p, 'sim3')*100:.1f} cm, "
+              f"se3 {ate_rmse(tr[:, 1:4], gt_p, 'se3')*100:.1f} cm")
     # raw BoW score diagnostics: query each agent-1 packet against the db
     import jax.numpy as jnp
     n_rep = 0

@@ -88,4 +88,4 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     ates = [float(line.split()[-2]) for line in out.splitlines()
             if "ATE (sim3)" in line]
     assert len(ates) == 2, out
-    assert max(ates) < 30.0, out  # cm
+    assert max(ates) < 10.0, out  # cm (measured 2.3-2.8; VERDICT r2 slack fix)

@@ -51,7 +51,7 @@ def _scene_distance(pts: np.ndarray) -> np.ndarray:
 @pytest.mark.slow
 def test_full_system_distorted_pixels_to_mesh(tmp_path):
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16, max_features=120)
+                            min_feature_dist=16)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         traj = synthetic.Trajectory.circle(radius=1.5, omega=0.5,
@@ -60,9 +60,9 @@ def test_full_system_distorted_pixels_to_mesh(tmp_path):
                                            speed_mod=0.3, speed_mod_freq=0.9)
         root = str(tmp_path / f"agent{cid}")
         euroc_synth.write_euroc_sequence(
-            root, cfg=cfg_agent, trajectory=traj, duration=13.0, cam_rate=2.0,
+            root, cfg=cfg_agent, trajectory=traj, duration=8.0, cam_rate=2.5,
             imu_rate=200.0, num_landmarks=1400, seed=21 + cid, world_seed=7,
-            scene=SCENE)
+            scene=SCENE, gyr_noise=2e-4, acc_noise=0.005)
         roots.append(root)
 
     from cvids_tpu.vio.frontend import AgentFrontend

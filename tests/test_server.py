@@ -224,7 +224,7 @@ def test_server_with_tree_vocabulary(world):
     assert server.loop_count > 0, "tree-vocab path found no loops"
     assert server.clients[1].aligned, "client 1 never aligned (tree vocab)"
     ate1, n1 = ate(server, gt, 1)
-    assert ate1 < 0.3, ate1
+    assert ate1 < 0.1, ate1  # measured ~cm; VERDICT r2 slack fix
 
 
 def test_async_optimize_matches_sync(world):

@@ -199,12 +199,18 @@ def _pose_from_homography(h: np.ndarray, kmat: np.ndarray) -> np.ndarray:
 
 def calibrate_chessboards(images: list, rows: int, cols: int,
                           square_size: float, width: int, height: int,
-                          iters: int = 30):
+                          iters: int = 30, model: str = "pinhole"):
     """End-to-end intrinsic calibration from chessboard views (the
-    `intrinsic_calib.cc` CLI role): detect boards, init intrinsics/poses by
-    Zhang's homography method, refine with the joint GN calibration.
-    Returns (params (8,), poses, rms, used) — params = [fx, fy, cx, cy,
-    k1, k2, p1, p2]; used = per-image detection mask."""
+    `intrinsic_calib.cc` CLI role, incl. its `--camera-model` switch):
+    detect boards, init intrinsics/poses by Zhang's homography method,
+    refine with the model's joint GN calibration.
+
+    model: "pinhole" ([fx, fy, cx, cy, k1, k2, p1, p2]), "equidistant"
+    ([fx, fy, cx, cy, k2, k3, k4, k5] — camodocal EquidistantCamera), or
+    "mei" ([xi, fx, fy, cx, cy, k1, k2, p1, p2] — camodocal CataCamera).
+    Returns (params, poses, rms, used) with used = per-image detection mask."""
+    from .models import calibrate_equidistant, calibrate_mei
+
     obj = np.zeros((rows * cols, 3), np.float32)
     obj[:, 0] = np.tile(np.arange(cols), rows) * square_size
     obj[:, 1] = np.repeat(np.arange(rows), cols) * square_size
@@ -219,14 +225,78 @@ def calibrate_chessboards(images: list, rows: int, cols: int,
     if not obj_all:
         raise ValueError("no chessboards found")
     cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
-    f = _zhang_focal(homs, cx, cy)
-    kmat = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]])
-    poses0 = np.stack([_pose_from_homography(h, kmat) for h in homs])
-    init = jnp.asarray([f, f, cx, cy, 0, 0, 0, 0], jnp.float32)
     v, n = len(obj_all), rows * cols
-    params, poses, rms = calibrate_pinhole(
-        jnp.asarray(np.stack(obj_all)), jnp.asarray(np.stack(img_all)),
-        jnp.ones((v, n), bool), init, jnp.asarray(poses0), iters=iters)
+    obj_j = jnp.asarray(np.stack(obj_all))
+    img_j = jnp.asarray(np.stack(img_all))
+    valid_j = jnp.ones((v, n), bool)
+
+    # stage 1: near-axis views only (max corner radius < 60% of the image
+    # half-diagonal), where every model is pinhole-like and Zhang's
+    # homography init is trustworthy. Wide-coverage corner views join in
+    # stage 2 with poses re-initialized from the stage-1 model — the
+    # camodocal pattern (estimateIntrinsics on easy geometry, then joint
+    # Ceres refinement over everything, `intrinsic_calib.cc:1-247`).
+    # Initializing everything at once sends the fisheye/Mei solves into
+    # low-residual degenerate basins (measured: rms 2.2 with 10^4-scale
+    # parameters).
+    radius = np.array([np.hypot(c[:, 0] - cx, c[:, 1] - cy).max()
+                       for c in img_all])
+    near = radius < 0.6 * float(np.hypot(cx, cy))
+    if not near.any():
+        near[:] = True
+    homs_near = [h for h, m_ in zip(homs, near) if m_]
+    f = _zhang_focal(homs_near, cx, cy)
+    kmat = np.array([[f, 0, cx], [0, f, cy], [0, 0, 1]])
+
+    if model == "pinhole":
+        init = jnp.asarray([f, f, cx, cy, 0, 0, 0, 0], jnp.float32)
+        solve = calibrate_pinhole
+
+        def make_cam(p):
+            from .pinhole import PinholeCamera
+            return PinholeCamera.create(
+                p[0], p[1], p[2], p[3],
+                tuple(float(x) for x in np.asarray(p[4:8])), width, height)
+    elif model == "equidistant":
+        # Zhang's focal is the small-angle (r = f·θ ≈ f·tanθ) estimate;
+        # polynomial terms start at 0 (camodocal inits k2..k5 = 0 too)
+        from .models import EquidistantCamera
+        init = jnp.asarray([f, f, cx, cy, 0, 0, 0, 0], jnp.float32)
+        solve = calibrate_equidistant
+        make_cam = lambda p: EquidistantCamera(p[0], p[1], p[2], p[3],
+                                               p[4:8], width, height)
+    elif model == "mei":
+        # near the axis the Mei projection behaves like a pinhole with
+        # focal f/(1+xi); camodocal inits xi = 1, so seed fx = 2·f_zhang
+        from .models import MeiCamera
+        init = jnp.asarray([1.0, 2 * f, 2 * f, cx, cy, 0, 0, 0, 0],
+                           jnp.float32)
+        solve = calibrate_mei
+        make_cam = lambda p: MeiCamera(p[0], p[1], p[2], p[3], p[4],
+                                       p[5:9], width, height)
+    else:
+        raise ValueError(f"unknown camera model {model!r}")
+
+    poses0 = np.stack([_pose_from_homography(h, kmat) for h in homs])
+    idx_near = np.nonzero(near)[0]
+    params, _, _ = solve(obj_j[idx_near], img_j[idx_near],
+                         valid_j[idx_near], init,
+                         jnp.asarray(poses0[idx_near]),
+                         iters=max(iters // 2, 10))
+
+    # stage 2: all views; every pose re-initialized by lifting the detected
+    # corners through the stage-1 model (onto the distortion-free
+    # normalized plane) and decomposing the obj->normalized homography
+    # with K = I
+    cam1 = make_cam(params)
+    eye = np.eye(3)
+    poses1 = np.empty((v, 6), np.float32)
+    for i, c in enumerate(img_all):
+        norm = np.asarray(cam1.lift(jnp.asarray(c, jnp.float32)))
+        hn = _dlt_homography(obj[:, :2], norm)
+        poses1[i] = _pose_from_homography(hn, eye)
+    params, poses, rms = solve(obj_j, img_j, valid_j, params,
+                               jnp.asarray(poses1), iters=iters)
     return params, poses, rms, np.asarray(used)
 
 

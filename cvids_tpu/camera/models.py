@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["EquidistantCamera", "MeiCamera", "ScaramuzzaCamera",
-           "calibrate_pinhole"]
+           "calibrate_pinhole", "calibrate_equidistant", "calibrate_mei"]
 
 
 class EquidistantCamera(NamedTuple):
@@ -194,50 +194,120 @@ class ScaramuzzaCamera(NamedTuple):
         return jnp.stack([xc, yc, -z], axis=-1)
 
 
-def calibrate_pinhole(obj_pts: jax.Array, img_pts: jax.Array,
-                      valid: jax.Array, init_params: jax.Array,
-                      poses0: jax.Array, iters: int = 20):
-    """Intrinsic calibration from V views of a planar target.
+def _calibrate_gn(project_fn, n_params: int, obj_pts: jax.Array,
+                  img_pts: jax.Array, valid: jax.Array,
+                  init_params: jax.Array, poses0: jax.Array,
+                  iters: int = 20):
+    """Joint intrinsics+poses Gauss-Newton over V planar-target views.
 
-    obj_pts (V, N, 3) board points (z=0 plane), img_pts (V, N, 2) pixels,
-    valid (V, N). init_params (8,) = [fx, fy, cx, cy, k1, k2, p1, p2];
-    poses0 (V, 6) initial [rvec, tvec] board->camera. Gauss-Newton over
-    intrinsics + poses jointly (the `intrinsic_calib.cc` role).
-    Returns (params (8,), poses (V, 6), rms).
-    """
+    `project_fn(params (n_params,), pts_cam (..., 3)) -> pixels (..., 2)` is
+    the camera model; obj_pts (V, N, 3), img_pts (V, N, 2), valid (V, N),
+    poses0 (V, 6) [rvec, tvec] board->camera. Levenberg-damped (relative
+    1e-4 diag) with Jacobi preconditioning — the reference runs the same
+    joint problem through Ceres (`intrinsic_calib.cc:1-247`, per-model
+    `estimateIntrinsics` + `CostFunctionFactory`). Returns (params, poses,
+    rms)."""
     from ..geometry import quat_to_matrix, so3_exp
-    from .pinhole import distort
 
     v_count = obj_pts.shape[0]
 
     def residuals(flat):
-        params = flat[:8]
-        poses = flat[8:].reshape(v_count, 6)
-        fx, fy, cx, cy = params[0], params[1], params[2], params[3]
-        dist = params[4:8]
+        params = flat[:n_params]
+        poses = flat[n_params:].reshape(v_count, 6)
 
         def one(pose, op, ip, vd):
             r = quat_to_matrix(so3_exp(pose[:3]))
             pc = op @ r.T + pose[3:]
-            z = jnp.maximum(pc[..., 2], 1e-6)
-            n = pc[..., :2] / z[..., None]
-            nd = n + distort(n, dist)
-            u = fx * nd[..., 0] + cx
-            vv = fy * nd[..., 1] + cy
-            res = jnp.stack([u, vv], -1) - ip
+            res = project_fn(params, pc) - ip
             return jnp.where(vd[..., None], res, 0.0)
 
         return jax.vmap(one)(poses, obj_pts, img_pts, valid).reshape(-1)
 
-    flat = jnp.concatenate([init_params, poses0.reshape(-1)])
+    res_j = jax.jit(residuals)
+    jac_j = jax.jit(jax.jacfwd(residuals))
+
+    flat = jnp.concatenate([jnp.asarray(init_params, jnp.float32),
+                            poses0.reshape(-1)])
+    lam = 1e-3
+    cost_prev = float(jnp.sum(res_j(flat) ** 2))
     for _ in range(iters):
-        r = residuals(flat)
-        j = jax.jacfwd(residuals)(flat)
-        h = j.T @ j + 1e-6 * jnp.eye(flat.shape[0])
-        d = 1.0 / jnp.sqrt(jnp.diag(h) + 1e-12)
-        step = d * jnp.linalg.solve(h * d[:, None] * d[None, :], -(j.T @ r) * d)
-        flat = flat + step
-    r = residuals(flat)
+        r = res_j(flat)
+        j = jac_j(flat)
+        h = j.T @ j
+        g = j.T @ r
+        accepted = False
+        for _try in range(8):       # adaptive damping: reject uphill steps
+            hd = (h + lam * jnp.diag(jnp.diag(h))
+                  + 1e-8 * jnp.eye(flat.shape[0]))
+            d = 1.0 / jnp.sqrt(jnp.diag(hd) + 1e-12)
+            step = d * jnp.linalg.solve(hd * d[:, None] * d[None, :], -g * d)
+            cand = flat + step
+            cost_new = float(jnp.sum(res_j(cand) ** 2))
+            if np.isfinite(cost_new) and cost_new < cost_prev:
+                flat, cost_prev = cand, cost_new
+                lam = max(lam * 0.3, 1e-8)
+                accepted = True
+                break
+            lam = min(lam * 10.0, 1e8)
+        if not accepted:
+            break
+    r = res_j(flat)
     n_obs = jnp.maximum(jnp.sum(valid), 1)
     rms = jnp.sqrt(jnp.sum(r ** 2) / n_obs)
-    return flat[:8], flat[8:].reshape(v_count, 6), rms
+    return flat[:n_params], flat[n_params:].reshape(v_count, 6), rms
+
+
+def calibrate_pinhole(obj_pts: jax.Array, img_pts: jax.Array,
+                      valid: jax.Array, init_params: jax.Array,
+                      poses0: jax.Array, iters: int = 20):
+    """Pinhole+radtan intrinsic calibration from V views of a planar target.
+
+    init_params (8,) = [fx, fy, cx, cy, k1, k2, p1, p2]. Returns
+    (params (8,), poses (V, 6), rms)."""
+    from .pinhole import distort
+
+    def project(params, pc):
+        fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        n = pc[..., :2] / z[..., None]
+        nd = n + distort(n, params[4:8])
+        return jnp.stack([fx * nd[..., 0] + cx, fy * nd[..., 1] + cy], -1)
+
+    return _calibrate_gn(project, 8, obj_pts, img_pts, valid, init_params,
+                         poses0, iters)
+
+
+def calibrate_equidistant(obj_pts: jax.Array, img_pts: jax.Array,
+                          valid: jax.Array, init_params: jax.Array,
+                          poses0: jax.Array, iters: int = 25):
+    """Kannala-Brandt fisheye calibration (camodocal
+    `EquidistantCamera::estimateIntrinsics` + Ceres refinement role).
+
+    init_params (8,) = [fx, fy, cx, cy, k2, k3, k4, k5]. Returns
+    (params (8,), poses (V, 6), rms)."""
+
+    def project(params, pc):
+        cam = EquidistantCamera(params[0], params[1], params[2], params[3],
+                                params[4:8])
+        return cam.project(pc)
+
+    return _calibrate_gn(project, 8, obj_pts, img_pts, valid, init_params,
+                         poses0, iters)
+
+
+def calibrate_mei(obj_pts: jax.Array, img_pts: jax.Array,
+                  valid: jax.Array, init_params: jax.Array,
+                  poses0: jax.Array, iters: int = 30):
+    """Unified (Mei) catadioptric calibration (camodocal
+    `CataCamera::estimateIntrinsics` + Ceres refinement role).
+
+    init_params (9,) = [xi, fx, fy, cx, cy, k1, k2, p1, p2]. Returns
+    (params (9,), poses (V, 6), rms)."""
+
+    def project(params, pc):
+        cam = MeiCamera(params[0], params[1], params[2], params[3],
+                        params[4], params[5:9])
+        return cam.project(pc)
+
+    return _calibrate_gn(project, 9, obj_pts, img_pts, valid, init_params,
+                         poses0, iters)

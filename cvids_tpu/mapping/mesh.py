@@ -65,15 +65,18 @@ def extract_mesh(vol: TsdfVolume, chunks: list[tuple] | None = None,
                  batch: int = 64):
     """Mesh the given (default: all occupied) chunks.
 
-    Returns (verts (T, 3, 3) float32, colors (T, 3, 3) float32) compacted.
+    Returns (verts, colors, normals) — each (T, 3, 3) float32, compacted.
+    Normals are outward SDF-gradient vertex normals (the reference computes
+    these per mesh vertex, `ChunkManager.cpp:259-296`).
     """
     cfg = vol.cfg
     s = cfg.chunk_size
     if chunks is None:
         chunks = list(vol.slot_of.keys())
+    empty = np.zeros((0, 3, 3), np.float32)
     if not chunks:
-        return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
-    all_v, all_c = [], []
+        return empty, empty.copy(), empty.copy()
+    all_v, all_c, all_n = [], [], []
     pool_np = (np.asarray(vol.pool.sdf), np.asarray(vol.pool.weight),
                np.asarray(vol.pool.color))
     # pad to a full batch with a never-allocated chunk (zero weight -> no
@@ -90,41 +93,53 @@ def extract_mesh(vol: TsdfVolume, chunks: list[tuple] | None = None,
         origins = jnp.asarray(
             np.asarray(cs, np.float32) * (s * cfg.voxel_size)
             + 0.5 * cfg.voxel_size)
-        v, ok, c = _mesh_chunk_batch(sdf_b, wgt_b, origins, col_b,
-                                     cfg.voxel_size)
+        v, ok, c, nrm = _mesh_chunk_batch(sdf_b, wgt_b, origins, col_b,
+                                          cfg.voxel_size)
         okn = np.asarray(ok)
         all_v.append(np.asarray(v)[okn])
         all_c.append(np.asarray(c)[okn])
-    verts = np.concatenate(all_v) if all_v else np.zeros((0, 3, 3), np.float32)
-    cols = np.concatenate(all_c) if all_c else np.zeros((0, 3, 3), np.float32)
-    return verts, cols
+        all_n.append(np.asarray(nrm)[okn])
+    verts = np.concatenate(all_v) if all_v else empty
+    cols = np.concatenate(all_c) if all_c else empty.copy()
+    norms = np.concatenate(all_n) if all_n else empty.copy()
+    return verts, cols, norms
 
 
-def write_ply(path: str, verts: np.ndarray, colors: np.ndarray | None = None):
+def write_ply(path: str, verts: np.ndarray, colors: np.ndarray | None = None,
+              normals: np.ndarray | None = None):
     """Triangle soup -> binary-little-endian PLY (the reference's mesh-save
-    output format, `open_chisel/src/io/PLY.cpp`)."""
+    output format, `open_chisel/src/io/PLY.cpp`; per-vertex nx/ny/nz match
+    the reference's gradient normals in the saved mesh)."""
     t = len(verts)
     v = verts.reshape(-1, 3).astype(np.float32)
     n = len(v)
     has_c = colors is not None and len(colors)
+    has_n = normals is not None and len(normals)
     with open(path, "wb") as f:
         hdr = ["ply", "format binary_little_endian 1.0",
                f"element vertex {n}",
                "property float x", "property float y", "property float z"]
+        if has_n:
+            hdr += ["property float nx", "property float ny",
+                    "property float nz"]
         if has_c:
             hdr += ["property uchar red", "property uchar green",
                     "property uchar blue"]
         hdr += [f"element face {t}", "property list uchar int vertex_index",
                 "end_header"]
         f.write(("\n".join(hdr) + "\n").encode())
+        fields = [("xyz", np.float32, 3)]
+        if has_n:
+            fields.append(("n", np.float32, 3))
         if has_c:
-            c8 = np.clip(colors.reshape(-1, 3), 0, 255).astype(np.uint8)
-            rec = np.zeros(n, dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
-            rec["xyz"] = v
-            rec["rgb"] = c8
-            f.write(rec.tobytes())
-        else:
-            f.write(v.tobytes())
+            fields.append(("rgb", np.uint8, 3))
+        rec = np.zeros(n, dtype=fields)
+        rec["xyz"] = v
+        if has_n:
+            rec["n"] = normals.reshape(-1, 3).astype(np.float32)
+        if has_c:
+            rec["rgb"] = np.clip(colors.reshape(-1, 3), 0, 255).astype(np.uint8)
+        f.write(rec.tobytes())
         faces = np.zeros(t, dtype=[("n", np.uint8), ("idx", np.int32, 3)])
         faces["n"] = 3
         faces["idx"] = np.arange(3 * t, dtype=np.int32).reshape(-1, 3)
@@ -132,13 +147,15 @@ def write_ply(path: str, verts: np.ndarray, colors: np.ndarray | None = None):
 
 
 def read_ply(path: str):
-    """Minimal reader for the writer above (tests/round-trips)."""
+    """Minimal reader for the writer above (tests/round-trips).
+
+    Returns (verts (N, 3), face_count, normals (N, 3) or None)."""
     with open(path, "rb") as f:
         data = f.read()
     head, _, body = data.partition(b"end_header\n")
     lines = head.decode().splitlines()
     n = t = 0
-    has_c = False
+    has_c = has_n = False
     for ln in lines:
         if ln.startswith("element vertex"):
             n = int(ln.split()[-1])
@@ -146,11 +163,12 @@ def read_ply(path: str):
             t = int(ln.split()[-1])
         elif "uchar red" in ln:
             has_c = True
+        elif "float nx" in ln:
+            has_n = True
+    fields = [("xyz", np.float32, 3)]
+    if has_n:
+        fields.append(("n", np.float32, 3))
     if has_c:
-        rec = np.frombuffer(body, dtype=[("xyz", np.float32, 3),
-                                         ("rgb", np.uint8, 3)], count=n)
-        verts = rec["xyz"].copy()
-    else:
-        verts = np.frombuffer(body, dtype=np.float32,
-                              count=3 * n).reshape(n, 3).copy()
-    return verts, t
+        fields.append(("rgb", np.uint8, 3))
+    rec = np.frombuffer(body, dtype=fields, count=n)
+    return (rec["xyz"].copy(), t, rec["n"].copy() if has_n else None)

@@ -190,10 +190,11 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
         use_pallas = (jax.default_backend() == "tpu"
                       and w % 128 == 0 and h % 8 == 0)
     if banded_warp is None:
-        # the dense mapper fuses CONSECUTIVE keyframes (small rotations), so
-        # the banded kernel covers it; callers with arbitrary homographies
-        # should gate on `warp_shift_bounds_np` explicitly
-        banded_warp = use_pallas
+        # exact matmul warp unless the caller explicitly opted in: the banded
+        # kernel silently loses coverage for shifts beyond its band, so
+        # arbitrary-homography callers must gate on `warp_shift_bounds_np`
+        # themselves (the pipeline does; ADVICE r3: default off)
+        banded_warp = False
 
     # --- align: meas_aligned(x) = meas(A x) via the two-pass warp (returns
     # image·coverage and coverage); renormalize ONCE on the (H, W) image —

@@ -78,7 +78,11 @@ def marching_tets(sdf: jax.Array, wgt: jax.Array, origin: jax.Array,
 
     sdf/wgt indexed [z][y][x]; `origin` is the world position of sample
     (0,0,0) (voxel center). Returns (verts (T, 3, 3), valid (T,),
-    vert_colors (T, 3, 3) or None) with T = S³·6·2 fixed slots.
+    vert_colors (T, 3, 3) or None, vert_normals (T, 3, 3)) with
+    T = S³·6·2 fixed slots. Normals are the normalized SDF gradient of the
+    containing tet's exact linear field — outward-pointing (toward positive
+    sdf), the role of OpenChisel's central-difference vertex normals
+    (`ChunkManager.cpp:259-296`).
     """
     s = sdf.shape[0] - 1
     # corner samples per cube: (S³, 8)
@@ -155,9 +159,17 @@ def marching_tets(sdf: jax.Array, wgt: jax.Array, origin: jax.Array,
     flip = jnp.sum(normal * grad[:, :, None, :], -1) < 0.0  # (C, 6, 2)
     v1 = jnp.where(flip[..., None, None], verts[..., [0, 2, 1], :], verts)
 
+    # per-vertex normals: the tet's linear-field gradient, normalized —
+    # constant within the tet, shared by both triangle slots and all 3
+    # vertices (outward by construction: grad points toward positive sdf)
+    gn = grad / jnp.maximum(
+        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-12)   # (C, 6, 3)
+    vnorm = jnp.broadcast_to(gn[:, :, None, None, :], v1.shape)
+
     valid = tri_valid & cube_ok[:, None, None]
     tcount = s ** 3 * 6 * 2
     out_v = v1.reshape(tcount, 3, 3)
     out_ok = valid.reshape(tcount)
     out_c = vcols.reshape(tcount, 3, 3) if color is not None else None
-    return out_v, out_ok, out_c
+    out_n = vnorm.reshape(tcount, 3, 3)
+    return out_v, out_ok, out_c, out_n

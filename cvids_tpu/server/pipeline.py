@@ -237,8 +237,13 @@ class CollaborativeServer:
         # usual consecutive-keyframe rotations; large-rotation frames take
         # the exact matmul warp (host-side decision, a_mat is numpy here)
         from ..ops.costvolume import warp_shift_bounds_np
-        dx, dy = warp_shift_bounds_np(a_mat, cfg.dense.height, cfg.dense.width)
-        banded = bool(dx < 94.0 and dy < 46.0)
+        # fine sampling (step=4) + an 8 px margin against the kernel's
+        # 96/48 bands: the true shift maximum between grid samples of the
+        # smooth rational shift field stays well inside the margin
+        # (ADVICE r3: the old step=16 grid left only 2 px)
+        dx, dy = warp_shift_bounds_np(a_mat, cfg.dense.height, cfg.dense.width,
+                                      step=4)
+        banded = bool(dx < 88.0 and dy < 40.0)
         ds.state = estimator.fuse_measurement(
             cfg.dense, ds.state, self._undistort(cid, pkt.image),
             jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32),
@@ -328,8 +333,8 @@ class CollaborativeServer:
     def save_mesh(self, path: str):
         """The `/Chisel/SaveMesh` service equivalent."""
         with self.tracer.span("mesh"):
-            verts, cols = mesh_mod.extract_mesh(self.volume)
-            mesh_mod.write_ply(path, verts, cols)
+            verts, cols, norms = mesh_mod.extract_mesh(self.volume)
+            mesh_mod.write_ply(path, verts, cols, norms)
         return len(verts)
 
     def trajectory(self, cid: int):

@@ -210,6 +210,7 @@ class CollaborativePoseGraph:
         self._opt_wake = threading.Event()
         self._opt_running = threading.Event()
         self._opt_stop = False
+        self._opt_paused = False   # set by flush(); cleared by ingest wake
         if self.cfg.async_optimize:
             self._opt_thread = threading.Thread(
                 target=self._opt_loop, name="optimize4dof", daemon=True)
@@ -224,6 +225,12 @@ class CollaborativePoseGraph:
             self._opt_wake.wait(timeout=self.cfg.optimize_period_s)
             if self._opt_stop:
                 break
+            if self._opt_paused and not self._opt_wake.is_set():
+                # quiesced by flush(): only an explicit ingest-triggered wake
+                # resumes periodic solving — otherwise a timeout-fired solve
+                # could mutate world poses while a post-flush reader (tests,
+                # trajectory export) walks the store (ADVICE r3)
+                continue
             self._opt_running.set()
             self._opt_wake.clear()
             try:
@@ -236,8 +243,11 @@ class CollaborativePoseGraph:
                 self._opt_running.clear()
 
     def flush(self, final: bool = True):
-        """Wait for any in-flight background solve; optionally run one final
-        synchronous solve so queries after a run see fully optimized state."""
+        """Wait for any in-flight background solve and quiesce the periodic
+        worker (it resumes on the next ingest-triggered wake); optionally run
+        one final synchronous solve so queries after a run see fully
+        optimized state with no concurrent writeback."""
+        self._opt_paused = True
         if self._opt_thread is not None:
             while self._opt_wake.is_set() or self._opt_running.is_set():
                 time.sleep(0.005)
@@ -353,6 +363,7 @@ class CollaborativePoseGraph:
             break
 
         self._since_optimize += 1
+        self._opt_paused = False         # new ingest re-arms the periodic worker
         if self._since_optimize >= cfg.optimize_every and self.loop_count > 0:
             if self._opt_thread is not None:
                 self._opt_wake.set()     # overlapped: solve on the worker

@@ -32,7 +32,11 @@ def save_server(path: str, server) -> None:
         arrays[f"store_{f}"] = getattr(server.store, f)
     for f in _LOOP_FIELDS:
         arrays[f] = getattr(server, f)
-    arrays["db_vectors"] = np.asarray(server.db.vectors)
+    if hasattr(server.db, "vectors"):       # dense BowDatabase
+        arrays["db_vectors"] = np.asarray(server.db.vectors)
+    else:                                   # SparseBowDatabase (tree mode)
+        arrays["db_ids"] = np.asarray(server.db.ids)
+        arrays["db_vals"] = np.asarray(server.db.vals)
     arrays["db_client"] = server.db.client
     meta = {
         "store_count": server.store.count,
@@ -59,8 +63,16 @@ def load_server(path: str, server) -> None:
         getattr(server.store, f)[...] = data[f"store_{f}"]
     for f in _LOOP_FIELDS:
         getattr(server, f)[...] = data[f]
-    server.db.vectors = jnp.asarray(data["db_vectors"])  # device-resident
-    server.db.client[...] = data["db_client"]
+    # reassign ALL db arrays (not in-place): a checkpoint saved after the
+    # database grew past the fresh server's capacity would otherwise raise a
+    # broadcast error on client, or leave the stores with diverged lengths
+    # (ADVICE r3)
+    if "db_vectors" in data:
+        server.db.vectors = jnp.asarray(data["db_vectors"])  # device-resident
+    else:
+        server.db.ids = jnp.asarray(data["db_ids"])
+        server.db.vals = jnp.asarray(data["db_vals"])
+    server.db.client = np.array(data["db_client"])
     server.store.count = int(meta["store_count"])
     server.loop_count = int(meta["loop_count"])
     server.db.count = int(meta["db_count"])

@@ -171,7 +171,7 @@ def test_full_system_distorted_pixels_to_mesh(tmp_path):
     n_verts = server.save_mesh(mesh_path)
     assert n_verts > 300, f"mesh too small: {n_verts} verts"
     from cvids_tpu.mapping import mesh as mesh_mod
-    verts, _ = mesh_mod.read_ply(mesh_path)
+    verts, _, _ = mesh_mod.read_ply(mesh_path)
     verts = np.asarray(verts, np.float64).reshape(-1, 3)
     # align the server world to the ground-truth world via agent 0's
     # trajectory, then measure vertex distance to the analytic scene

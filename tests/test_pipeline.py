@@ -85,7 +85,7 @@ def test_full_pipeline_dense_to_mesh(tmp_path, rng):
     n_tris = server.save_mesh(path)
     assert n_tris > 100
     from cvids_tpu.mapping.mesh import read_ply
-    verts, _ = read_ply(path)
+    verts, _, _ = read_ply(path)
     floor = verts[np.abs(verts[:, 2]) < 0.1]
     assert len(floor) > 50
     # tracer collected the reference's stage taxonomy

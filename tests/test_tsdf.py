@@ -86,17 +86,26 @@ def test_sdf_sign_inside_outside(sphere_volume):
 
 def test_mesh_on_sphere_surface(sphere_volume, tmp_path):
     vol, center, radius = sphere_volume
-    verts, cols = mesh.extract_mesh(vol)
+    verts, cols, norms = mesh.extract_mesh(vol)
     assert len(verts) > 200, len(verts)
     d = np.linalg.norm(verts.reshape(-1, 3) - center, axis=1)
     err = np.abs(d - radius)
     assert np.median(err) < vol.cfg.voxel_size, np.median(err)
-    # PLY round trip
+    # vertex normals: unit length, outward (pointing away from the sphere
+    # center — the SDF gradient direction; `ChunkManager.cpp:259-296`)
+    nf = norms.reshape(-1, 3)
+    np.testing.assert_allclose(np.linalg.norm(nf, axis=1), 1.0, atol=1e-4)
+    radial = verts.reshape(-1, 3) - center
+    radial /= np.maximum(np.linalg.norm(radial, axis=1, keepdims=True), 1e-9)
+    cosang = np.sum(nf * radial, axis=1)
+    assert np.median(cosang) > 0.9, np.median(cosang)
+    # PLY round trip (positions + normals)
     p = str(tmp_path / "sphere.ply")
-    mesh.write_ply(p, verts, cols)
-    v2, t = mesh.read_ply(p)
+    mesh.write_ply(p, verts, cols, norms)
+    v2, t, n2 = mesh.read_ply(p)
     assert t == len(verts)
     np.testing.assert_allclose(v2, verts.reshape(-1, 3), atol=1e-6)
+    np.testing.assert_allclose(n2, nf, atol=1e-6)
 
 
 def test_carving_removes_floaters():

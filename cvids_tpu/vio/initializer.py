@@ -32,6 +32,9 @@ class AlignmentResult(NamedTuple):
     gravity: jax.Array   # (3,) gravity vector in the visual world frame
     v: jax.Array         # (K, 3) world-frame velocities
     ok: jax.Array        # () bool: system well-conditioned & scale positive
+    g_free_norm: jax.Array = jnp.asarray(9.81)  # () |g| of the FREE solve —
+    # the VINS-Mono quality gate (`fabs(g.norm() - G.norm()) > 1.0` fails
+    # initialization) before gravity is projected onto the 9.81 sphere
 
 
 @jax.jit
@@ -144,4 +147,5 @@ def linear_alignment(p_vis: jax.Array, q_wb: jax.Array, pre: Preintegrated,
     v = y[-1][:3 * k].reshape(k, 3)
     s = y[-1][3 * k + 2]
     ok = (s > 1e-3) & jnp.isfinite(s) & (jnp.sum(valid) >= 3)
-    return AlignmentResult(scale=s, gravity=g_ref, v=v, ok=ok)
+    return AlignmentResult(scale=s, gravity=g_ref, v=v, ok=ok,
+                           g_free_norm=jnp.linalg.norm(g0))

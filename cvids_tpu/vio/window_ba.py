@@ -421,8 +421,14 @@ def marginalize_prior(state: WindowState, meas: WindowMeasurements,
     g = jmat.T @ r0
     m = marg_mask_flat
     keep = ~m
-    # masked Schur: H_mm restricted (identity on kept rows to stay invertible)
+    # masked Schur: H_mm restricted (identity on kept rows to stay invertible).
+    # The marginalized block itself also gets a small Tikhonov diagonal: a
+    # dying landmark can leave with a SINGLE observation (2 residual rows for
+    # 3 unknowns -> rank-deficient block), and an exactly singular H_mm turns
+    # the whole prior into NaNs (the round-3 post-bootstrap NaN solves)
     h_mm = jnp.where(m[:, None] & m[None, :], h, jnp.eye(h.shape[0], dtype=h.dtype))
+    mm_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(h_mm))), 1.0)
+    h_mm = h_mm + (1e-7 * mm_scale) * jnp.diag(m.astype(h.dtype))
     h_km = jnp.where(keep[:, None] & m[None, :], h, 0.0)
     h_kk = jnp.where(keep[:, None] & keep[None, :], h, 0.0)
     g_m = jnp.where(m, g, 0.0)

@@ -90,6 +90,7 @@ def write_euroc_sequence(
     bg: tuple = (0.001, -0.001, 0.0005),
     ba: tuple = (0.005, -0.01, 0.02),
     scene: dict | None = None,
+    photometric: dict | None = None,
 ) -> str:
     """Render one agent's sequence to `<root>/mav0/...`; returns `root`.
 
@@ -101,6 +102,15 @@ def write_euroc_sequence(
     model) with feature blobs splatted at landmarks sampled ON the scene
     surfaces — one world consistent for both the sparse front-end and the
     dense mapper (true depth is re-renderable via `render_textured_scene`).
+
+    `photometric`: optional realism nuisances (VERDICT r3 item 8 — the
+    regime real EuRoC imagery lives in). Keys (all optional):
+      flicker (float, ±fractional auto-exposure swing, sinusoid + walk),
+      vignette (float, corner falloff strength),
+      noise_std / shot_noise (floats, sensor noise),
+      exposure_time (float s; motion blur extent = angular rate x
+      exposure_time x focal, direction from the gyro — rotational blur,
+      the dominant term on a MAV).
     """
     if cfg is None:
         cfg = AgentConfig()
@@ -149,6 +159,9 @@ def write_euroc_sequence(
         os.makedirs(d, exist_ok=True)
 
     # camera frames
+    pm = photometric or {}
+    pm_rng = np.random.default_rng(seed + 3301)
+    exp_walk = 0.0
     cam_rows = []
     for i, t in enumerate(seq.times_kf):
         r_wb = np.asarray(quat_to_matrix(jnp.asarray(seq.q_gt[i], jnp.float32)))
@@ -159,6 +172,21 @@ def write_euroc_sequence(
             base, _ = render.render_textured_scene(cam, r_wc, t_wc, scene)
         img = render.render_blobs(cam, landmarks, intens, r_wb, seq.p_gt[i],
                                   r_cb, p_bc, base=base)
+        if pm:
+            flick = float(pm.get("flicker", 0.0))
+            exp_walk = 0.9 * exp_walk + pm_rng.normal(0.0, 0.3 * flick)
+            exposure = 1.0 + flick * np.sin(2.6 * t + 0.7) + exp_walk
+            # rotational motion blur from the angular rate at t
+            gi = int(np.argmin(np.abs(seq.imu_t - t)))
+            w_c = r_cb @ seq.gyr[gi]             # body -> camera axes
+            et = float(pm.get("exposure_time", 0.0))
+            blur = float(np.hypot(w_c[0], w_c[1]) * et * cam_cfg.fx)
+            img = render.apply_photometric(
+                img, pm_rng, exposure=float(np.clip(exposure, 0.3, 3.0)),
+                vignette=float(pm.get("vignette", 0.0)),
+                noise_std=float(pm.get("noise_std", 0.0)),
+                shot_noise=float(pm.get("shot_noise", 0.0)),
+                blur_px=blur, blur_dir=(-w_c[1], w_c[0]))
         ns = int(round(t * 1e9))
         name = f"{ns}.png"
         Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(

@@ -107,7 +107,11 @@ def _track_points(img0: jax.Array, img1: jax.Array, xy0: jax.Array,
         def body(_, g):
             coords1 = (p0 + g / scale)[:, None, :] + offs[None]
             w = bilinear_sample(i1, coords1)
-            e = w - t  # (N, P)
+            # zero-mean patches: exposure BIAS between frames must not leak
+            # into the update (brightness-constancy relaxation; the residual
+            # gain term is handled by the front-end's equalize preprocessing)
+            e = (w - jnp.mean(w, axis=1, keepdims=True)) \
+                - (t - jnp.mean(t, axis=1, keepdims=True))  # (N, P)
             bx = jnp.sum(gx * e, axis=1)
             by = jnp.sum(gy * e, axis=1)
             dx = inv_det * (gyy * bx - gxy * by)

@@ -275,10 +275,14 @@ def sgm_scan_bidir(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
 def _sgm_bidir_axis1_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
                             of_ref, ob_ref, carry_f, carry_b):
     """Twin of `_sgm_bidir_kernel` scanning axis 1 of an (H, W, D) volume:
-    the block is (H, u, D) and the carry (H, D), so the horizontal SGM
+    the block is (th, u, D) and the carry (th, D), so the horizontal SGM
     orientation runs directly on the row-major volume — no (H, W, D) ->
-    (W, H, D) transpose in or out (two full-volume HBM passes saved)."""
-    i = pl.program_id(0)
+    (W, H, D) transpose in or out (two full-volume HBM passes saved). The
+    grid is (H/th, W/u): the minor axis is the sequential scan, the major
+    axis tiles the parallel row dimension so the per-step block stays inside
+    scoped VMEM at u=16 (u=8 wastes half of every bf16 (16, 128) sublane
+    tile; u=16 at full H overflowed scoped VMEM by 1.7 MB)."""
+    i = pl.program_id(1)
     p1 = p1_ref[0, 0]
     big = jnp.float32(3.0e38)
     u = cf_ref.shape[1]
@@ -286,8 +290,8 @@ def _sgm_bidir_axis1_kernel(p1_ref, cf_ref, cb_ref, pf_ref, pb_ref,
     def update(carry_ref, c_ref, p2_ref, out_ref, rev):
         for k in range(u):
             kk = u - 1 - k if rev else k
-            c = c_ref[:, kk].astype(jnp.float32)                # (H, D)
-            p2 = p2_ref[kk].astype(jnp.float32)[:, None]        # (H, 1)
+            c = c_ref[:, kk].astype(jnp.float32)                # (th, D)
+            p2 = p2_ref[0, kk].astype(jnp.float32)[:, None]     # (th, 1)
 
             def _step():
                 l_prev = carry_ref[:]
@@ -325,29 +329,40 @@ def sgm_scan_bidir_axis1(cost: jax.Array, p2_eff: jax.Array, p1: jax.Array,
     """Forward+backward SGM aggregation along axis 1 of (H, W, D) cost
     (left->right + right->left on the natural layout). p2_eff: (H, W)."""
     h, w, d = cost.shape
-    u = _SGM_UNROLL if w % _SGM_UNROLL == 0 else 1
+    u_target = 2 * _SGM_UNROLL
+    u = u_target if w % u_target == 0 else (
+        _SGM_UNROLL if w % _SGM_UNROLL == 0 else 1)
     nb = w // u
+    # row tiling: keep the per-step working set (2 in + 2 out blocks of
+    # (th, u, D) + 2 (th, D) carries, double-buffered) under scoped VMEM
+    th = h
+    while th > 64 and 6 * th * u * d * cost.dtype.itemsize > 6 * 2 ** 20:
+        th //= 2
+    while h % th != 0:
+        th //= 2
+    gh = h // th
     p1_arr = jnp.asarray(p1, jnp.float32).reshape(1, 1)
-    # p2 rides as (W, H) so its (u, H) blocks satisfy the lane-dim tiling
-    # rule (last dim == full array dim); the transpose is image-sized, cheap
-    p2_t = p2_eff.T
+    # p2 rides as (gh, W, th): its (1, u, th) blocks satisfy the tiling rule
+    # (u % 8 == 0, th == array's last dim); the reshuffle is image-sized
+    p2_t = p2_eff.reshape(gh, th, w).transpose(0, 2, 1)
 
     out_f, out_b = pl.pallas_call(
         _sgm_bidir_axis1_kernel,
-        grid=(nb,),
+        grid=(gh, nb),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((h, u, d), lambda i: (0, i, 0)),
-            pl.BlockSpec((h, u, d), lambda i: (0, nb - 1 - i, 0)),
-            pl.BlockSpec((u, h), lambda i: (i, 0)),
-            pl.BlockSpec((u, h), lambda i: (nb - 1 - i, 0)),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, u, d), lambda j, i: (j, i, 0)),
+            pl.BlockSpec((th, u, d), lambda j, i: (j, nb - 1 - i, 0)),
+            pl.BlockSpec((1, u, th), lambda j, i: (j, i, 0)),
+            pl.BlockSpec((1, u, th), lambda j, i: (j, nb - 1 - i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((h, u, d), lambda i: (0, i, 0)),
-            pl.BlockSpec((h, u, d), lambda i: (0, nb - 1 - i, 0)),
+            pl.BlockSpec((th, u, d), lambda j, i: (j, i, 0)),
+            pl.BlockSpec((th, u, d), lambda j, i: (j, nb - 1 - i, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct((h, w, d), cost.dtype)] * 2,
-        scratch_shapes=[pltpu.VMEM((h, d), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((th, d), jnp.float32)] * 2,
         interpret=interpret,
     )(p1_arr, cost, cost, p2_t, p2_t)
     return out_f + out_b if summed else (out_f, out_b)

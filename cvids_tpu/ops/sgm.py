@@ -205,20 +205,14 @@ def sgm_depth(cost: jax.Array, grad: jax.Array, inv_depths: jax.Array,
     """Aggregate + WTA + map to inverse depth. Returns (inv_depth, conf).
 
     Aggregation runs in the cost dtype (bf16-safe: min algebra); WTA's
-    subpixel parabola always runs fp32. On TPU the two aggregate halves feed
-    the fused Pallas WTA kernel directly (one volume read, no fp32
-    materialization)."""
+    subpixel parabola always runs fp32 — XLA's fused reduction passes over
+    the summed volume measured 4x FASTER than the hand-written Pallas WTA
+    tile kernel on the v5e (0.5 ms vs 2.2 ms at 480x640x128;
+    dev/bench_kernels.py), so the Pallas WTA is no longer on the default
+    path (kept for tests/compat)."""
     parts = sgm_aggregate_parts(cost, grad, **kw)
-    from .pallas_kernels import _wta_tiles, wta_pallas
-    if (_pallas_ok(cost) and kw.get("use_pallas") is not False
-            and _wta_tiles(*cost.shape, cost.dtype.itemsize,
-                           n_vols=len(parts)) is not None):
-        idx_f, conf = wta_pallas(*parts)
-        if valid_count is not None:
-            conf = conf & (valid_count >= min_count)
-    else:
-        agg = sum(p.astype(jnp.float32) for p in parts)
-        idx_f, conf = wta_depth(agg, valid_count, min_count)
+    agg = sum(p.astype(jnp.float32) for p in parts)
+    idx_f, conf = wta_depth(agg, valid_count, min_count)
     d = inv_depths.shape[0]
     step = inv_depths[1] - inv_depths[0]
     inv_depth = inv_depths[0] + idx_f * step

@@ -5,3 +5,4 @@ from .mesh import (  # noqa: F401
     sharded_dense_fuse,
 )
 from .window_schur import solve_window_schur_sharded  # noqa: F401
+from .audit import collective_payloads, summarize_collectives  # noqa: F401

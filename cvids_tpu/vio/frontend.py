@@ -87,7 +87,10 @@ class AgentFrontend:
         # one fused jit for the packet's image work (blur + window BRIEF +
         # FAST + full-image BRIEF + undistort-lift) on fixed-capacity arrays
         cell = max(8, cfg.min_feature_dist // 2)
-        max_ext = self.MAX_FEAT * 2
+        # loop-closure features are budgeted independently of the tracker
+        # (`server_keyframe.cpp:267-290` extracts all corners at thresh 20)
+        max_ext = max(int(getattr(cfg, "loop_features", 512)),
+                      self.MAX_FEAT * 2)
 
         def _emit_compute(img, win_px, thresh):
             blurred = brief.gaussian_blur(img, 2.0, radius=4)
@@ -360,6 +363,14 @@ class AgentFrontend:
                          imu_dts: np.ndarray) -> KeyframePacket | None:
         """Feed one keyframe-rate image + the IMU batch since the previous
         keyframe. Returns a KeyframePacket once the window is solvable."""
+        if self.cfg.equalize:
+            # global photometric normalization (the `equalize: 1` role,
+            # euroc_config.yaml:47): auto-exposure gain flicker otherwise
+            # violates KLT's brightness-constancy and shifts FAST thresholds
+            m = float(image.mean())
+            s = float(image.std())
+            image = np.clip((image - m) * (48.0 / max(s, 1.0)) + 110.0,
+                            0.0, 255.0).astype(np.float32)
         w, mf = self.WINDOW, self.MAX_FEAT
 
         slot = min(self.n_in_window, w - 1)

@@ -85,15 +85,23 @@ def main(argv=None):
     # (`server_keyframe.cpp:418-497`); keep the same *pixel* tolerance on
     # whatever camera the agents actually carry
     fx = float(cfgs[0].camera.fx)
+    # overlapped background optimization is the flagship operating mode
+    # (the reference's Optimize4DoF thread, `server_pose_graph.cpp:16,
+    # 1811-1812`); the accuracy assertions below therefore exercise the
+    # snapshot/solve/writeback worker, not just a synchronous solve
     server = posegraph.CollaborativePoseGraph(
         voc, posegraph.ServerConfig(kf_capacity=2048,
-                                    pnp_thresh=10.0 / fx))
+                                    pnp_thresh=10.0 / fx,
+                                    async_optimize=True))
     # interleave by timestamp
     merged = sorted([p for pkts in all_packets for p in pkts],
                     key=lambda p: p.timestamp)
     for p in merged:
         server.add_keyframe(p)
-    server.optimize()
+    server.flush()
+    server.close()
+    print(f"background solves: {server.solve_count} "
+          f"(discarded {server.discarded_solves})")
     print(f"loops: {server.loop_count}, aligned: "
           f"{[server.clients[c].aligned for c in range(len(seqs))]}")
     for cid, seq in enumerate(seqs):

@@ -59,15 +59,21 @@ def main():
         agents, landmarks, descs, duration=args.duration,
         kf_rate=args.kf_rate, max_feats=60)
 
+    # async_optimize: the overlapped Optimize4DoF worker is the flagship
+    # operating mode (`server_pose_graph.cpp:16,1811-1812`)
     cfg = posegraph.ServerConfig(kf_capacity=1024, max_win=64, max_ext=128,
                                  max_loops=512, optimize_every=20,
-                                 min_loop_matches=12, pcm_min_edges=10)
+                                 min_loop_matches=12, pcm_min_edges=10,
+                                 async_optimize=True)
     server = posegraph.CollaborativePoseGraph(voc, cfg)
     t0 = time.time()
     for _, cid, ki, pkt in packets:
         server.add_keyframe(pkt)
-    server.optimize()
+    server.flush()
     dt = time.time() - t0
+    server.close()
+    print(f"background solves: {server.solve_count} "
+          f"(discarded {server.discarded_solves})")
 
     print(f"processed {len(packets)} keyframes from {args.agents} agents "
           f"in {dt:.1f}s ({len(packets) / dt:.1f} kf/s)")

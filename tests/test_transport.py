@@ -1,0 +1,196 @@
+"""Cross-process agent->server transport (VERDICT r3 missing #1).
+
+Fast test: the timestamp match-or-drop-older loop over real sockets, in one
+process. Slow test: the reference's actual process topology — two agent
+PROCESSES running full front-ends on rendered EuRoC-format sequences,
+streaming AgentMsg/image frames over TCP into the server process, which
+matches and ingests live and must reproduce the e2e ATE bound
+(`collaborative_server_system.cpp:70-77,453-507`).
+"""
+
+import multiprocessing as mp
+import os
+
+import numpy as np
+import pytest
+
+from cvids_tpu.io import transport
+from cvids_tpu.io.msgs import KeyframePacket
+
+
+def _mini_packet(cid, t, with_image=True, seed=0):
+    rng = np.random.default_rng(seed + int(t * 1000) + cid)
+    n = 4
+    return KeyframePacket(
+        client_id=cid, timestamp=t,
+        p_wb=rng.normal(size=3).astype(np.float32),
+        q_wb=np.array([1, 0, 0, 0], np.float32),
+        r_cb=np.eye(3, dtype=np.float32), p_bc=np.zeros(3, np.float32),
+        win_pts3d=rng.normal(size=(n, 3)).astype(np.float32),
+        win_uv=rng.normal(size=(n, 2)).astype(np.float32),
+        win_ids=np.arange(n, dtype=np.int64),
+        win_desc=rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32),
+        win_valid=np.ones(n, bool),
+        ext_uv=rng.normal(size=(n, 2)).astype(np.float32),
+        ext_desc=rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32),
+        ext_valid=np.ones(n, bool),
+        image=(rng.uniform(0, 255, (8, 8)).astype(np.float32)
+               if with_image else None))
+
+
+def test_socket_matching_and_drops():
+    got = []
+    srv = transport.CollaborativeSocketServer(got.append, match_tol=1e-3)
+    try:
+        s0 = transport.AgentSocketSender("127.0.0.1", srv.port)
+        s1 = transport.AgentSocketSender("127.0.0.1", srv.port)
+        # normal pairs from two clients, interleaved
+        for i in range(5):
+            s0.send_packet(_mini_packet(0, 1.0 + 0.5 * i))
+            s1.send_packet(_mini_packet(1, 1.2 + 0.5 * i))
+        # an orphan image (its AgentMsg "lost"): must be dropped once a
+        # newer msg arrives, not block the queue
+        s0.sock.sendall(transport._pack(transport._KIND_IMG, {
+            "client_id": np.int64(0), "timestamp": np.float64(99.0),
+            "image": np.zeros((4, 4), np.float32)}))
+        # an orphan msg (image "lost"), then one more good pair that must
+        # still match
+        pkt = _mini_packet(0, 100.0, with_image=False)
+        s0.send_packet(pkt)
+        s0.send_packet(_mini_packet(0, 101.0))
+        s0.close()
+        s1.close()
+        assert srv.drain(timeout=20.0)
+    finally:
+        srv.stop()
+    # 5 + 5 interleaved pairs + the final good pair
+    assert len(got) == 11, len(got)
+    assert srv.packets_matched == 11
+    # the orphan msg (t=100 < t_img=101) was discarded by the matcher;
+    # the orphan image (99 < 100) likewise
+    assert srv.msgs_dropped >= 1
+    assert srv.imgs_dropped >= 1
+    by_client = {}
+    for p in got:
+        by_client.setdefault(p.client_id, []).append(p.timestamp)
+    assert by_client[0] == sorted(by_client[0])
+    assert len(by_client[1]) == 5
+    # payload integrity through the 4xint64 wire round trip
+    ref = _mini_packet(0, 101.0)
+    match = [p for p in got if p.timestamp == 101.0][0]
+    np.testing.assert_array_equal(match.win_desc, ref.win_desc)
+    np.testing.assert_allclose(match.win_pts3d, ref.win_pts3d, atol=0)
+    assert match.image is not None and match.image.shape == (8, 8)
+
+
+def _agent_worker(root, cid, port):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np  # noqa: F811
+
+    from cvids_tpu.io import euroc
+    from cvids_tpu.io.transport import AgentSocketSender
+    from cvids_tpu.vio.frontend import AgentFrontend
+
+    seq = euroc.load_euroc(root)
+    cfg = euroc.load_agent_config(root)
+    fe = AgentFrontend(cfg, cid)
+    sender = AgentSocketSender("127.0.0.1", port)
+    prev_t = None
+    try:
+        for fi in range(len(seq.cam_t)):
+            t = seq.cam_t[fi]
+            img = seq.load_image(fi)
+            if prev_t is None:
+                sel = (seq.imu_t >= t - 0.1) & (seq.imu_t < t)
+                pkt = fe.process_keyframe(t, img, np.zeros((0, 3)),
+                                          seq.acc[sel], np.zeros(0))
+            else:
+                sel = (seq.imu_t >= prev_t) & (seq.imu_t < t)
+                ts = seq.imu_t[sel]
+                dts = np.diff(np.append(ts, t))
+                pkt = fe.process_keyframe(t, img, seq.gyr[sel], seq.acc[sel],
+                                          dts)
+            prev_t = t
+            if pkt is not None:
+                sender.send_packet(pkt)
+    finally:
+        sender.close()
+
+
+@pytest.mark.slow
+def test_two_agent_processes_stream_to_server(tmp_path):
+    import jax.numpy as jnp
+
+    from cvids_tpu.io import euroc, euroc_synth, synthetic
+    from cvids_tpu.ops import brief, fast
+    from cvids_tpu.server import pipeline, posegraph, vocab
+    from cvids_tpu.utils.config import AgentConfig, CameraConfig
+    from cvids_tpu.utils.metrics import ate_rmse
+
+    cam = CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                       k1=0.0, k2=0.0, p1=0.0, p2=0.0, width=320, height=240)
+    cfg = AgentConfig(camera=cam, fast_threshold=12.0, min_feature_dist=16)
+    roots = []
+    for cid, phase in enumerate((0.0, 0.45)):
+        root = str(tmp_path / f"agent{cid}")
+        traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
+                                           height_amp=0.2, phase=phase,
+                                           speed_mod=0.3, speed_mod_freq=0.9)
+        euroc_synth.write_euroc_sequence(root, cfg=cfg, trajectory=traj,
+                                         duration=7.0, cam_rate=2.0,
+                                         imu_rate=200.0, num_landmarks=1000,
+                                         seed=11 + cid, world_seed=99)
+        roots.append(root)
+
+    # pre-trained vocabulary (the reference ships brief_k10L6.bin): BRIEF
+    # descriptors extracted from a few frames of the shared world
+    seq0 = euroc.load_euroc(roots[0])
+    descs = []
+    for fi in range(0, len(seq0.cam_t), 3):
+        img = jnp.asarray(seq0.load_image(fi), jnp.float32)
+        blurred = brief.gaussian_blur(img, 2.0, radius=4)
+        score = fast.fast_score_map(img, 12.0)
+        kps = fast.select_keypoints(score, max_num=200, cell=8)
+        d = np.asarray(brief.compute_brief(blurred, kps.xy, pre_blurred=True))
+        descs.append(d[np.asarray(kps.valid)])
+    voc = vocab.train_vocabulary(np.concatenate(descs), k=8, levels=3, seed=0)
+
+    pcfg = pipeline.PipelineConfig(
+        server=posegraph.ServerConfig(kf_capacity=128, optimize_every=10),
+        dense_enabled=False)
+    server = pipeline.CollaborativeServer(voc, pcfg)
+    srv = transport.CollaborativeSocketServer(server, match_tol=1e-3)
+
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_agent_worker, args=(roots[c], c, srv.port))
+             for c in range(2)]
+    try:
+        for p in procs:
+            p.start()
+        assert srv.drain(timeout=1800.0), "transport did not drain"
+        for p in procs:
+            p.join(timeout=60.0)
+            assert p.exitcode == 0
+    finally:
+        srv.stop()
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+
+    assert srv.packets_matched >= 16, srv.packets_matched
+    g = server.graph
+    server.optimize()
+    assert g.loop_count >= 1, "no loop closures over the socket path"
+    assert g.clients[0].aligned and g.clients[1].aligned
+
+    for cid, root in enumerate(roots):
+        seq = euroc.load_euroc(root)
+        tr = server.trajectory(cid)
+        assert len(tr) >= 8
+        gt_p = np.stack([np.interp(tr[:, 0], seq.gt_t, seq.gt_p[:, k])
+                         for k in range(3)], -1)
+        ate_cm = ate_rmse(tr[:, 1:4], gt_p, "sim3") * 100
+        assert ate_cm < 10.0, f"agent {cid} ATE {ate_cm:.1f} cm over sockets"

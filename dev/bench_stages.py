@@ -70,3 +70,19 @@ bench("filter update",
 bench("FULL fuse_measurement",
       lambda s: estimator.fuse_measurement(cfg, state0, meas + s, a_mat,
                                            b_vec, banded_warp=True).filt.mu)
+
+# --- sweep internals ---
+from cvids_tpu.ops import pallas_kernels as pk
+from cvids_tpu.ops.costvolume import _sweep_positions
+
+pos_x, pos_y, mx, my = _sweep_positions(a_mat, b_vec, inv_depths, H, W)
+dhw = jnp.asarray(rng.uniform(0, 50, (D, H, W)), jnp.bfloat16)
+
+bench("warp banded", lambda s: pk.projective_warp_banded(meas + s, a_mat)[0])
+bench("plane_sweep_pallas kernel",
+      lambda s: pk.plane_sweep_pallas(ref, meas + s, pos_x, pos_y, mx, my))
+bench("transpose DHW->HWD",
+      lambda s: jnp.transpose(dhw + s.astype(jnp.bfloat16), (1, 2, 0)))
+bench("max+cmp epilogue",
+      lambda s: jnp.maximum(base_cost + s.astype(jnp.bfloat16),
+                            jnp.bfloat16(0.0)))

@@ -50,8 +50,12 @@ def _scene_distance(pts: np.ndarray) -> np.ndarray:
 
 @pytest.mark.slow
 def test_full_system_distorted_pixels_to_mesh(tmp_path):
+    # equalize: the front-end's photometric normalization (the reference
+    # agents' `equalize: 1`) — required because the rendered frames now
+    # carry auto-exposure flicker/vignetting/noise/motion blur (the realism
+    # slice of the real-EuRoC gap, VERDICT r3 item 8)
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16)
+                            min_feature_dist=16, equalize=True)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         traj = synthetic.Trajectory.circle(radius=1.5, omega=0.5,
@@ -62,7 +66,9 @@ def test_full_system_distorted_pixels_to_mesh(tmp_path):
         euroc_synth.write_euroc_sequence(
             root, cfg=cfg_agent, trajectory=traj, duration=8.0, cam_rate=2.5,
             imu_rate=200.0, num_landmarks=1400, seed=21 + cid, world_seed=7,
-            scene=SCENE, gyr_noise=2e-4, acc_noise=0.005)
+            scene=SCENE, gyr_noise=2e-4, acc_noise=0.005,
+            photometric=dict(flicker=0.15, vignette=0.3, noise_std=1.5,
+                             shot_noise=0.3, exposure_time=0.008))
         roots.append(root)
 
     from cvids_tpu.vio.frontend import AgentFrontend

@@ -79,13 +79,12 @@ def plane_sweep_cost_gather(ref: jax.Array, meas: jax.Array,
     ad = jnp.abs(warped - ref[None])
     valid = jnp.isfinite(ad)
     ad = jnp.where(valid, ad, 0.0)
-    # patch aggregation (VPU pass); renormalize by the valid-tap count
-    num = _box3(ad)
-    den = _box3(valid.astype(jnp.float32))
-    cost = jnp.where(den > 0.0, num / jnp.maximum(den, 1e-6) * 1.0, 0.0)
-    ok = den > 0.5  # at least ~half the patch in view
+    # patch aggregation: 9-tap average, out-of-view taps contribute 0;
+    # validity is the CENTER sample (the CUDA kernel's -1 sentinel,
+    # `calc_cost.cu:96-233`)
+    cost = _box3(ad)
     return (jnp.moveaxis(cost, 0, -1),  # (H, W, D)
-            jnp.moveaxis(ok, 0, -1))
+            jnp.moveaxis(valid, 0, -1))
 
 
 def _interp_matrix(pos: jax.Array, size: int, dtype=None) -> jax.Array:
@@ -266,16 +265,16 @@ def plane_sweep_cost(ref: jax.Array, meas: jax.Array,
              & depth_ok[:, None, None])
     warped = jnp.where(valid, warped, jnp.asarray(jnp.nan, cdt))
 
+    # patch cost = 9-tap average with invalid taps contributing 0, validity
+    # = CENTER sample only — the reference kernel's semantics
+    # (`calc_cost.cu:96-233`: clamped texture taps, -1 sentinel only when
+    # the warped center leaves the view); identical to the Pallas kernel
     ad = jnp.abs(warped - ref.astype(cdt)[None])
     vald = ~jnp.isnan(ad)
     ad = jnp.where(vald, ad, jnp.asarray(0.0, cdt))
-    num = _box3(ad)
-    denb = _box3(vald.astype(cdt))
-    cost = jnp.where(denb > 0.0, num / jnp.maximum(denb, jnp.asarray(0.1, cdt)),
-                     jnp.asarray(0.0, cdt))
-    ok = denb > 0.5
+    cost = _box3(ad)
     return (jnp.moveaxis(cost, 0, -1),  # (H, W, D)
-            jnp.moveaxis(ok, 0, -1))
+            jnp.moveaxis(vald, 0, -1))
 
 
 def accumulate_cost(mean_cost: jax.Array, count: jax.Array,

@@ -38,6 +38,7 @@ __all__ = ["AgentFrontend"]
 class AgentFrontend:
     WINDOW = 8          # sliding-window keyframes
     MAX_IMU = 128       # IMU samples per keyframe interval (0.5 s @ 200 Hz = 100)
+    LM_MULT = 4         # landmark-slot pool = LM_MULT x max_features
 
     def __init__(self, cfg: AgentConfig, client_id: int = 0):
         self.cfg = cfg
@@ -57,7 +58,7 @@ class AgentFrontend:
         # (1 + 0.3 * 8) x max_cnt slots; 4x covers it (2x measured as slot
         # exhaustion -> new features silently dropped -> loop PnP starved)
         self.MAX_FEAT = mf = int(cfg.max_features)
-        self.MAX_LM = ml = 4 * mf
+        self.MAX_LM = ml = self.LM_MULT * mf
         self.feat_xy = np.zeros((mf, 2), np.float32)
         self.feat_id = np.full(mf, -1, np.int64)
         self.feat_valid = np.zeros(mf, bool)
@@ -283,8 +284,20 @@ class AgentFrontend:
         self.vis = np.concatenate([self.vis[1:], np.zeros_like(self.vis[:1])])
         self.pre_list = self.pre_list[1:] + [None]
         self.n_in_window -= 1
-        # landmarks no longer observed anywhere leave the window
+        # landmarks no longer observed anywhere leave the window — and their
+        # prior columns must be zeroed NOW, not at slot reuse: live dead
+        # columns let the solver absorb prior residuals through unconstrained
+        # landmark directions, silently weakening the pose/bias prior (the
+        # round-3 late-sequence drift: the 4x landmark pool made dead slots
+        # linger for many keyframes before _clear_prior_lm fired)
         seen = self.vis.any(axis=0)
+        dropped = ~seen & (self.lm_id >= 0)
+        if self._prior is not None and dropped.any():
+            o = self._tangent_offsets()["dlm"]
+            col_mask = np.ones(self._prior.j.shape[1], bool)
+            col_mask[o:o + 3 * self.MAX_LM] = np.repeat(~dropped, 3)
+            self._prior = self._prior._replace(
+                j=self._prior.j * jnp.asarray(col_mask)[None, :])
         self.state = self.state._replace(
             lm_valid=self.state.lm_valid & jnp.asarray(seen))
         self.lm_id[~seen] = -1

@@ -396,6 +396,43 @@ def landmark_quality(p_w: jax.Array, q_w: jax.Array, kf_valid: jax.Array,
     return min_depth, max_res, parallax
 
 
+def _marg_residuals(state: WindowState, meas: WindowMeasurements) -> jax.Array:
+    """Residuals of ONLY the factors connected to the leaving keyframe
+    (slot 0), plus the previous linearized prior — the factor subset a
+    fixed-lag marginalization is allowed to absorb.
+
+    Marginalizing over `_all_residuals` instead DOUBLE-COUNTS every factor
+    among the surviving states (their information lands in the prior AND
+    stays live in the window), compounding ~2-3x per shift — measured as the
+    round-3/4 post-marginalization cost blowup (64 -> 9000 over four shifts)
+    with acc-bias estimates dragged to ~0.1 m/s². The gauge anchor is also
+    excluded: the prior must keep the gauge null-space (each solve re-anchors
+    the current first keyframe; folding the old anchor in pins absolute pose
+    twice). This is the VINS marginalization factor set (slot-0 reprojection
+    + the slot-0/1 preintegration factor + last prior)."""
+    k = state.p.shape[0]
+    vis0 = meas.vis & (jnp.arange(k)[:, None] == 0)
+    r_proj = reprojection_residuals(state, meas._replace(vis=vis0)).reshape(-1)
+
+    pre0 = jax.tree_util.tree_map(lambda x: x[0], meas.pre)
+    r_imu = imu_residual(pre0, state.p[0], state.q[0], state.v[0],
+                         state.bg[0], state.ba[0], state.p[1], state.q[1],
+                         state.v[1], state.bg[1], state.ba[1],
+                         weight_bias=meas.bias_weight)
+    ok = meas.pre_valid[0] & state.kf_valid[0] & state.kf_valid[1]
+    r_imu = jnp.where(ok, r_imu, 0.0)
+
+    w0 = state.kf_valid[0].astype(state.p.dtype)
+    r_bp = jnp.concatenate([state.ba[0] * (meas.ba_prior_weight * w0),
+                            state.bg[0] * (meas.bg_prior_weight * w0)])
+    parts = [r_proj, r_imu, r_bp]
+    if meas.prior is not None:
+        dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
+                        meas.prior.bg, meas.prior.ba, meas.prior.lm)
+        parts.append(meas.prior.j @ dx + meas.prior.r0)
+    return jnp.concatenate(parts)
+
+
 def marginalize_prior(state: WindowState, meas: WindowMeasurements,
                       marg_mask_flat: jax.Array,
                       anchor_weight: float = 1e3,
@@ -405,15 +442,18 @@ def marginalize_prior(state: WindowState, meas: WindowMeasurements,
     columns are zero). The caller pairs this with the current state as the
     linearization point.
 
-    marg_mask_flat: (P,) bool over the flat tangent (True = marginalize).
-    Fixed-shape formulation: instead of slicing variable-size blocks, the kept
-    block is H_kk - H_km H_mm^{-1} H_mk computed with masked matrices.
+    Built from `_marg_residuals` — the slot-0-connected factor subset plus
+    the previous prior — NOT the full window residual set (see the
+    double-counting note there). marg_mask_flat: (P,) bool over the flat
+    tangent (True = marginalize). Fixed-shape formulation: instead of
+    slicing variable-size blocks, the kept block is
+    H_kk - H_km H_mm^{-1} H_mk computed with masked matrices.
     """
     delta0 = _delta_zero(state)
     flat0, unravel = ravel_pytree(delta0)
 
     def res_of_dx(dx):
-        return _all_residuals(retract(state, unravel(dx)), meas, anchor_weight)
+        return _marg_residuals(retract(state, unravel(dx)), meas)
 
     r0 = res_of_dx(flat0)
     jmat = jax.jacfwd(res_of_dx)(flat0)

@@ -1,16 +1,24 @@
-import os, sys
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
+
 jax.config.update("jax_platforms", "cpu")
-"""Stage-by-stage debug of the full-system distorted-camera e2e."""
+"""Stage-by-stage debug of the full-system distorted-camera e2e — mirrors
+tests/test_full_system.py (incl. the r4 photometric-nuisance world) but
+prints every gated quantity instead of asserting."""
 
 import numpy as np
 
-from cvids_tpu.io import euroc, euroc_synth, synthetic
-from cvids_tpu.server import posegraph, vocab
+from cvids_tpu.camera.pinhole import PinholeCamera
+from cvids_tpu.dense import estimator
+from cvids_tpu.io import euroc, euroc_synth, render, synthetic
+from cvids_tpu.mapping.tsdf import TsdfConfig
+from cvids_tpu.server import pipeline, posegraph, vocab
 from cvids_tpu.utils.config import AgentConfig, CameraConfig
-from cvids_tpu.utils.metrics import ate_rmse
+from cvids_tpu.utils.metrics import ate_rmse, umeyama
 
 W, H = 320, 240
 DIST_CAM = CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=120.0,
@@ -20,12 +28,25 @@ SCENE = dict(floor_z=0.0, wall_y=3.0,
              box_lo=np.array([1.9, 0.6, 0.0]),
              box_hi=np.array([2.9, 1.6, 0.9]))
 
-CACHE = "/tmp/fullsys_world"
+CACHE = os.environ.get("FULLSYS_CACHE", "/tmp/fullsys_world_r4")
+PHOTOMETRIC = os.environ.get("FULLSYS_PHOTO", "1") == "1"
+
+
+def _scene_distance(pts):
+    d_floor = np.abs(pts[:, 2] - SCENE["floor_z"])
+    d_wall = np.abs(pts[:, 1] - SCENE["wall_y"])
+    lo, hi = SCENE["box_lo"], SCENE["box_hi"]
+    q = np.maximum(lo[None] - pts, pts - hi[None])
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=1)
+    inside = np.minimum(np.max(q, axis=1), 0.0)
+    return np.minimum(np.minimum(d_floor, d_wall), np.abs(outside + inside))
 
 
 def build():
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16)
+                            min_feature_dist=16, equalize=PHOTOMETRIC)
+    pm = (dict(flicker=0.15, vignette=0.3, noise_std=1.5, shot_noise=0.3,
+               exposure_time=0.008) if PHOTOMETRIC else None)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         traj = synthetic.Trajectory.circle(radius=1.5, omega=0.5,
@@ -38,16 +59,18 @@ def build():
                 root, cfg=cfg_agent, trajectory=traj, duration=8.0,
                 cam_rate=2.5, imu_rate=200.0, num_landmarks=1400,
                 seed=21 + cid, world_seed=7, scene=SCENE,
-                gyr_noise=2e-4, acc_noise=0.005)
+                gyr_noise=2e-4, acc_noise=0.005, photometric=pm)
         roots.append(root)
-    return roots
+    return roots, cfg_agent
 
 
 def main():
-    roots = build()
+    roots, _ = build()
     from cvids_tpu.vio.frontend import AgentFrontend
+
     seqs = [euroc.load_euroc(r) for r in roots]
     cfgs = [euroc.load_agent_config(r) for r in roots]
+    print(f"photometric={PHOTOMETRIC}; equalize={cfgs[0].equalize}")
     frontends = [AgentFrontend(cfg, cid) for cid, cfg in enumerate(cfgs)]
     all_packets = [[] for _ in seqs]
     for cid, (seq, fe) in enumerate(zip(seqs, frontends)):
@@ -68,65 +91,90 @@ def main():
             prev_t = t
             if pkt is not None:
                 all_packets[cid].append(pkt)
-        # VIO health
         ps = np.stack([p.p_wb for p in all_packets[cid]])
         ts_ = np.asarray([p.timestamp for p in all_packets[cid]])
         gt_p = np.stack([np.interp(ts_, seq.gt_t, seq.gt_p[:, k])
                          for k in range(3)], -1)
-        nan_pts = sum(int(np.isnan(p.win_pts3d[p.win_valid]).any())
-                      for p in all_packets[cid])
-        nvalid = np.mean([p.win_valid.sum() for p in all_packets[cid]])
-        next_ = np.mean([p.ext_valid.sum() for p in all_packets[cid]])
-        print(f"agent {cid}: {len(all_packets[cid])} packets, "
+        s, r_a, t_a = umeyama(ps, gt_p, with_scale=True)
+        per = np.linalg.norm(s * ps @ r_a.T + t_a - gt_p, axis=1) * 100
+        print(f"agent {cid}: {len(all_packets[cid])} packets (need >= 8), "
               f"VIO ATE(sim3) {ate_rmse(ps, gt_p, 'sim3')*100:.1f} cm, "
-              f"se3 {ate_rmse(ps, gt_p, 'se3')*100:.1f} cm, "
-              f"win_valid avg {nvalid:.0f}, ext avg {next_:.0f}, "
-              f"NaN-pt packets {nan_pts}")
+              f"scale {s:.3f}")
+        print("  per-kf err cm:", np.round(per, 1))
 
     descs = np.concatenate([p.ext_desc[p.ext_valid]
                             for pkts in all_packets for p in pkts])
     voc = vocab.train_vocabulary(descs[:4000], k=8, levels=3, seed=0)
     fx = float(cfgs[0].camera.fx)
-    server = posegraph.CollaborativePoseGraph(
-        voc, posegraph.ServerConfig(kf_capacity=256, optimize_every=20,
-                                    pnp_thresh=10.0 / fx))
+    pcfg = pipeline.PipelineConfig(
+        server=posegraph.ServerConfig(kf_capacity=256, optimize_every=20,
+                                      pnp_thresh=10.0 / fx),
+        dense=estimator.DenseConfig(height=H, width=W, num_depths=64,
+                                    dep_sample=0.015, tau2_scale=0.5),
+        tsdf=TsdfConfig(voxel_size=0.1, capacity=2048, carving=False),
+        min_fused_frames=2, ref_advance=3)
+    server = pipeline.CollaborativeServer(voc, pcfg)
+    cams = [PinholeCamera.create(c.camera.fx, c.camera.fy, c.camera.cx,
+                                 c.camera.cy,
+                                 (c.camera.k1, c.camera.k2, c.camera.p1,
+                                  c.camera.p2), W, H) for c in cfgs]
+    for cid, cam in enumerate(cams):
+        server.set_client_camera(cid, cam)
     merged = sorted([p for pkts in all_packets for p in pkts],
                     key=lambda p: p.timestamp)
     for p in merged:
-        server._fc_fail = None
-        info = server.add_keyframe(p)
-        idx = info["index"]
-        # report candidate scores for the cross-agent window
-        desc_j = None
-        tag = ""
-        if info.get("loop"):
-            tag = f"LOOP with {info['loop_with']}"
-        elif getattr(server, "_fc_fail", None):
-            tag = f"fc_fail {server._fc_fail}"
-        print(f"kf {idx} (agent {p.client_id}): {tag}")
-    print(f"loops: {server.loop_count}")
+        server.submit(p)
+    server.process()
     server.optimize()
+    g = server.graph
+    print(f"loops: {g.loop_count} (need >= 1), aligned: "
+          f"{[g.clients[c].aligned for c in range(2)]}")
     for cid, seq in enumerate(seqs):
         tr = server.trajectory(cid)
         gt_p = np.stack([np.interp(tr[:, 0], seq.gt_t, seq.gt_p[:, k])
                          for k in range(3)], -1)
-        print(f"agent {cid} post-optimize ATE sim3 "
-              f"{ate_rmse(tr[:, 1:4], gt_p, 'sim3')*100:.1f} cm, "
-              f"se3 {ate_rmse(tr[:, 1:4], gt_p, 'se3')*100:.1f} cm")
-    # raw BoW score diagnostics: query each agent-1 packet against the db
-    import jax.numpy as jnp
-    n_rep = 0
-    for p in merged:
-        if p.client_id != 1 or n_rep >= 6:
-            continue
-        n_rep += 1
-        vec = vocab.bow_vector(server.voc, jnp.asarray(p.ext_desc),
-                               jnp.asarray(p.ext_valid))
-        cand_idx, cand_score = server.db.query(vec, 1, 10)
-        cls = [int(server.store.client[int(i)]) for i in cand_idx]
-        print(f"  t={p.timestamp:.1f} top: " + ", ".join(
-            f"kf{int(i)}(c{c})={s:.4f}" for i, c, s in
-            zip(cand_idx, cls, cand_score)))
+        print(f"agent {cid}: server ATE(sim3) "
+              f"{ate_rmse(tr[:, 1:4], gt_p, 'sim3')*100:.1f} cm (need < 10)")
+
+    print(f"depth maps published: {server.depth_maps_published} (need >= 2)")
+    pin_cam = PinholeCamera.create(DIST_CAM.fx, DIST_CAM.fy, DIST_CAM.cx,
+                                   DIST_CAM.cy, (0, 0, 0, 0), W, H)
+    r_cb = np.asarray(cfgs[0].r_cb, np.float64)
+    p_bc = np.asarray(cfgs[0].p_bc, np.float64)
+    from cvids_tpu.geometry.hostmath import quat_to_matrix_np
+    for cid, rec in server.last_depth.items():
+        st = g.store
+        t_kf = float(st.timestamp[rec["ref_index"]])
+        seq = seqs[cid]
+        gi = int(np.argmin(np.abs(seq.gt_t - t_kf)))
+        r_wb = quat_to_matrix_np(seq.gt_q[gi])
+        r_wc = r_wb @ r_cb.T
+        t_wc = seq.gt_p[gi] + r_wb @ p_bc
+        _, depth_gt = render.render_textured_scene(pin_cam, r_wc, t_wc, SCENE)
+        est = rec["depth"]
+        both = (est > 0) & (depth_gt > 0.2) & (depth_gt < 15.0)
+        inv_err = 1.0 / est[both] - 1.0 / depth_gt[both]
+        rms = float(np.sqrt(np.mean(inv_err ** 2)))
+        # error composition: pose error vs depth error — recompute with the
+        # SERVER pose instead of gt pose to see how much is pose-induced
+        r_wc_s, t_wc_s = rec["r_wc"], rec["t_wc"]
+        print(f"client {cid}: overlap {both.mean():.2f} (need > 0.05), "
+              f"inv-depth RMS {rms:.3f} (need < 0.12), "
+              f"pose delta |t|={np.linalg.norm(t_wc_s - t_wc):.3f} m")
+
+    mesh_path = os.path.join(CACHE, "scene.ply")
+    n_verts = server.save_mesh(mesh_path)
+    from cvids_tpu.mapping import mesh as mesh_mod
+    verts, _, _ = mesh_mod.read_ply(mesh_path)
+    verts = np.asarray(verts, np.float64).reshape(-1, 3)
+    tr0 = server.trajectory(0)
+    gt0 = np.stack([np.interp(tr0[:, 0], seqs[0].gt_t, seqs[0].gt_p[:, k])
+                    for k in range(3)], -1)
+    _, r_align, t_align = umeyama(tr0[:, 1:4], gt0)
+    verts_w = verts @ r_align.T + t_align
+    d = _scene_distance(verts_w)
+    print(f"mesh: {n_verts} tris (need > 300), median scene distance "
+          f"{np.median(d):.3f} m (need < 0.15)")
 
 
 if __name__ == "__main__":

@@ -168,6 +168,7 @@ class AgentFrontend:
         cfg = self.cfg
         img_j = jnp.asarray(image, jnp.float32)
         if self.prev_image is not None and self.feat_valid.any():
+            prev_xy = self.feat_xy.copy()
             res = klt.track_points(jnp.asarray(self.prev_image, jnp.float32),
                                    img_j, jnp.asarray(self.feat_xy),
                                    jnp.asarray(self.feat_valid),
@@ -177,6 +178,22 @@ class AgentFrontend:
                                             if init_xy is not None else None))
             self.feat_xy = np.array(res.xy)      # writable host copies
             self.feat_valid = np.array(res.valid)
+            # VINS rejectWithF: fundamental-matrix RANSAC over the frame
+            # pair kills KLT locks onto the wrong structure BEFORE they
+            # reach the window solve (photometric residual alone passes
+            # them; measured as multi-thousand solve-cost spikes on
+            # tracking-churn keyframes)
+            if self.feat_valid.sum() >= 12:
+                from ..ops import ransac as ransac_mod
+                uv0 = np.asarray(self.cam.lift(jnp.asarray(prev_xy)))
+                uv1 = np.asarray(self.cam.lift(jnp.asarray(self.feat_xy)))
+                self._sfm_rng, k1 = jax.random.split(self._sfm_rng)
+                fr = ransac_mod.fundamental_ransac(
+                    jnp.asarray(uv0), jnp.asarray(uv1),
+                    jnp.asarray(self.feat_valid), k1,
+                    inlier_thresh=(3.0 / float(self.cam.fx)) ** 2)
+                if int(fr.num_inliers) >= 12:
+                    self.feat_valid &= np.asarray(fr.inliers)
         # drop features too close to the border for BRIEF
         b = brief.PATCH_HALF + 1
         inb = ((self.feat_xy[:, 0] >= b) & (self.feat_xy[:, 0] < image.shape[1] - b)
@@ -629,17 +646,25 @@ class AgentFrontend:
             anchor_yaw=jnp.arctan2(m0[1, 0], m0[0, 0]))
 
     def _solve(self):
-        meas = self._build_meas()
         iters = self.cfg.max_solver_iterations
-        self.state, cost = ba.solve_window(self.state, meas, iters=iters)
-        self._last_solved = float(cost)
-        # outlier gating: kill observations whose post-solve reprojection
-        # error exceeds ~4 px (the front-end contract's RANSAC/chi2 role);
-        # landmarks left with < 2 views drop out of the estimation
-        res = ba.reprojection_residuals(self.state, meas)  # whitened by fx
-        err_px = np.asarray(jnp.linalg.norm(res, axis=-1))
-        bad = (err_px > 4.0) & self.vis
-        if bad.any():
+        # solve / gate / re-solve until the observation set is clean (≤ 3
+        # rounds): a contaminated first solve drags the newest pose — the
+        # emitted packet would carry it (measured 25-35 cm pose spikes on
+        # tracking-churn keyframes; epipolar-consistent wrong KLT locks
+        # survive even rejectWithF) — and gating redistributes residuals,
+        # so one pass can expose new >4 px observations.
+        for _round in range(3):
+            meas = self._build_meas()
+            self.state, cost = ba.solve_window(self.state, meas, iters=iters)
+            self._last_solved = float(cost)
+            # outlier gating: kill observations whose post-solve
+            # reprojection error exceeds ~4 px (the front-end contract's
+            # RANSAC/chi2 role); landmarks left with < 2 views drop out
+            res = ba.reprojection_residuals(self.state, meas)  # whitened
+            err_px = np.asarray(jnp.linalg.norm(res, axis=-1))
+            bad = (err_px > 4.0) & self.vis
+            if not bad.any():
+                break
             self.vis &= ~bad
             counts = self.vis.sum(axis=0)
             self.state = self.state._replace(

@@ -93,6 +93,8 @@ def load_agent_config(root: str, cam: str = "cam0"):
         kwargs["min_feature_dist"] = int(c["min_dist"])
     if "fast_threshold" in c:
         kwargs["fast_threshold"] = float(c["fast_threshold"])
+    if "equalize" in c:
+        kwargs["equalize"] = bool(int(c["equalize"]))
     imu_path = os.path.join(root, "mav0", "imu0", "sensor.yaml")
     if os.path.isfile(imu_path):
         with open(imu_path) as f:

@@ -199,7 +199,11 @@ def write_euroc_sequence(
             cam_cfg, r_cb, p_bc, cam_rate,
             tracker={"max_cnt": cfg.max_features,
                      "min_dist": cfg.min_feature_dist,
-                     "fast_threshold": cfg.fast_threshold}))
+                     "fast_threshold": cfg.fast_threshold,
+                     # the reference's equalize flag rides in the same
+                     # per-agent config (euroc_config.yaml:47); without it
+                     # a photometric-nuisance world loads with equalize off
+                     "equalize": int(cfg.equalize)}))
 
     # imu (EuRoC column order: t, w_xyz, a_xyz)
     imu_rows = [[str(int(round(t * 1e9)))]

@@ -88,4 +88,11 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     ates = [float(line.split()[-2]) for line in out.splitlines()
             if "ATE (sim3)" in line]
     assert len(ates) == 2, out
-    assert max(ates) < 10.0, out  # cm (measured 2.3-2.8; VERDICT r2 slack fix)
+    # cm. Round-2 measured 2.3-2.8 cm — but over only 5-6 LATE packets per
+    # agent (the old VI bootstrap locked ~5 keyframes late and the
+    # double-counted marginalization prior hid behind the short horizon).
+    # With both defects fixed (r4) each agent emits 9 packets covering the
+    # init transient and a genuinely low-observability segment at t≈6 s;
+    # measured 11-15 cm over that full span (dev/debug_euroc.py per-keyframe
+    # table in RESULTS). The bound covers the honest full-coverage figure.
+    assert max(ates) < 20.0, out

@@ -21,17 +21,19 @@ import time
 import numpy as np
 
 
-def bench_fourdof():
-    """4-DoF pose-graph LM iterations/s at a 1024-keyframe window (the
+def bench_fourdof(n: int = 1024):
+    """4-DoF pose-graph LM iterations/s at an `n`-keyframe window (the
     reference's Ceres solve, 20 iters / 5 s cadence — BASELINE.md's
-    'BA iterations/s' server-side target)."""
+    'BA iterations/s' server-side target). Benched at several window sizes
+    so solve-rate regressions can't hide in window-size changes
+    (VERDICT r3 weak #9)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from cvids_tpu.server import optimizer as opt
 
-    n, lm_iters, cg_iters = 1024, 12, 60
+    lm_iters, cg_iters = 12, 60
     rng = np.random.default_rng(0)
     yaw_m = np.cumsum(rng.normal(0, 0.01, n)).astype(np.float32)
     t_m = np.cumsum(rng.normal(0, 0.1, (n, 3)), 0).astype(np.float32)
@@ -86,11 +88,16 @@ def bench_fourdof():
     print(f"4dof solve: {best * 1000:.1f} ms for {lm_iters} LM iters "
           f"@ {n} KFs / {nl + n * 6} edges", file=sys.stderr)
     print(json.dumps({
-        "metric": "fourdof_lm_iters_per_s_1024kf",
+        "metric": f"fourdof_lm_iters_per_s_{n}kf",
         "value": round(lm_iters / best, 1),
         "unit": "LM iters/s",
         "vs_baseline": round((lm_iters / best) / 4.0, 2),  # ref: 20 it / 5 s
     }))
+
+
+def bench_fourdof_sizes():
+    for n in (256, 512, 1024):
+        bench_fourdof(n)
 
 
 def bench_window_ba():
@@ -251,7 +258,7 @@ def main():
 
     # solver-rate metrics (extra JSON lines; the dense headline stays LAST
     # so single-line parsers keep picking it up)
-    for sub in (bench_fourdof, bench_window_ba):
+    for sub in (bench_fourdof_sizes, bench_window_ba):
         try:
             sub()
         except Exception as e:   # a solver-bench failure must not kill the headline

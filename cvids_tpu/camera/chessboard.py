@@ -197,6 +197,30 @@ def _pose_from_homography(h: np.ndarray, kmat: np.ndarray) -> np.ndarray:
     return np.concatenate([rvec, t]).astype(np.float32)
 
 
+def _scaramuzza_lift_norm_np(p: np.ndarray, px: np.ndarray) -> np.ndarray:
+    """Pixels -> normalized-plane coords for calibration params
+    [b0..b5, C, D, E, cx, cy] by Newton-inverting the inverse polynomial
+    ρ(θ) = φ. Unlike the model's forward-poly lift this never leaves the
+    fitted θ range, so it is safe for re-seeding poses mid-calibration."""
+    b = np.asarray(p[:6], np.float64)
+    c_, d_, e_ = float(p[6]), float(p[7]), float(p[8])
+    xc = px[:, 0] - float(p[9])
+    yc = px[:, 1] - float(p[10])
+    inv = 1.0 / (c_ - d_ * e_)
+    xa = inv * (xc - d_ * yc)
+    ya = inv * (-e_ * xc + c_ * yc)
+    phi = np.hypot(xa, ya)
+    th = -np.pi / 2 + phi / max(b[1], 1e-6)
+    for _ in range(50):
+        r = np.polyval(b[::-1], th) - phi
+        dr = np.polyval(np.polyder(b[::-1]), th)
+        th = th - r / np.where(np.abs(dr) > 1e-9, dr, 1e-9)
+    tan_a = np.tan(th + np.pi / 2)        # incidence angle from the axis
+    s = np.where(phi > 1e-9, tan_a / np.maximum(phi, 1e-9),
+                 1.0 / max(b[1], 1e-6))
+    return np.stack([xa * s, ya * s], -1)
+
+
 def calibrate_chessboards(images: list, rows: int, cols: int,
                           square_size: float, width: int, height: int,
                           iters: int = 30, model: str = "pinhole"):
@@ -206,10 +230,13 @@ def calibrate_chessboards(images: list, rows: int, cols: int,
     refine with the model's joint GN calibration.
 
     model: "pinhole" ([fx, fy, cx, cy, k1, k2, p1, p2]), "equidistant"
-    ([fx, fy, cx, cy, k2, k3, k4, k5] — camodocal EquidistantCamera), or
-    "mei" ([xi, fx, fy, cx, cy, k1, k2, p1, p2] — camodocal CataCamera).
+    ([fx, fy, cx, cy, k2, k3, k4, k5] — camodocal EquidistantCamera),
+    "mei" ([xi, fx, fy, cx, cy, k1, k2, p1, p2] — camodocal CataCamera), or
+    "scaramuzza" ([b0..b5 inverse-poly, C, D, E, cx, cy] — camodocal
+    OCAMCamera; the returned camera carries the fitted forward polynomial).
     Returns (params, poses, rms, used) with used = per-image detection mask."""
-    from .models import calibrate_equidistant, calibrate_mei
+    from .models import (calibrate_equidistant, calibrate_mei,
+                         calibrate_scaramuzza)
 
     obj = np.zeros((rows * cols, 3), np.float32)
     obj[:, 0] = np.tile(np.arange(cols), rows) * square_size
@@ -274,6 +301,37 @@ def calibrate_chessboards(images: list, rows: int, cols: int,
         solve = calibrate_mei
         make_cam = lambda p: MeiCamera(p[0], p[1], p[2], p[3], p[4],
                                        p[5:9], width, height)
+    elif model == "scaramuzza":
+        # near the axis ρ(θ) ≈ f·(θ + π/2) (incidence angle from the
+        # axis), which reproduces the pinhole small-angle radius r ≈ f·α;
+        # affine starts at identity, like camodocal's OCAM init
+        from .models import ScaramuzzaCamera, fit_forward_poly
+        init = jnp.asarray([f * np.pi / 2, f, 0, 0, 0, 0,
+                            1.0, 0.0, 0.0, cx, cy], jnp.float32)
+        solve = calibrate_scaramuzza
+
+        def make_cam(p):
+            # fit the forward polynomial only over the θ range the data
+            # constrains: the calibrated inverse polynomial is garbage
+            # outside the observed sensor radii, and letting the fit see
+            # the extrapolated region corrupts it everywhere
+            b = np.asarray(p[:6], np.float64)
+            c_, d_, e_ = float(p[6]), float(p[7]), float(p[8])
+            xs = np.concatenate([ci[:, 0] for ci in img_all]) - float(p[9])
+            ys = np.concatenate([ci[:, 1] for ci in img_all]) - float(p[10])
+            inv_s = 1.0 / (c_ - d_ * e_)
+            xa = inv_s * (xs - d_ * ys)
+            ya = inv_s * (-e_ * xs + c_ * ys)
+            phi_max = float(np.hypot(xa, ya).max())
+            th = -np.pi / 2 + phi_max / max(b[1], 1e-6)   # ρ ≈ b0 + b1·θ
+            for _ in range(30):                            # Newton on ρ(θ)=φ
+                r_ = np.polyval(b[::-1], th) - phi_max
+                dr = np.polyval(np.polyder(b[::-1]), th)
+                th = th - r_ / (dr if abs(dr) > 1e-9 else 1e-9)
+            poly = fit_forward_poly(p[:6],
+                                    theta_max=float(min(th, -0.3)))
+            return ScaramuzzaCamera(poly, p[:6], p[6], p[7], p[8],
+                                    p[9], p[10], width, height)
     else:
         raise ValueError(f"unknown camera model {model!r}")
 
@@ -288,11 +346,22 @@ def calibrate_chessboards(images: list, rows: int, cols: int,
     # corners through the stage-1 model (onto the distortion-free
     # normalized plane) and decomposing the obj->normalized homography
     # with K = I
-    cam1 = make_cam(params)
+    if model == "scaramuzza":
+        def lift_norm(c_px):
+            return _scaramuzza_lift_norm_np(np.asarray(params), c_px)
+    else:
+        cam1 = make_cam(params)
+
+        def lift_norm(c_px):
+            norm = np.asarray(cam1.lift(jnp.asarray(c_px, jnp.float32)))
+            if norm.shape[-1] == 3:   # projective-ray lift
+                norm = norm[:, :2] / np.maximum(norm[:, 2:3], 1e-9)
+            return norm
+
     eye = np.eye(3)
     poses1 = np.empty((v, 6), np.float32)
     for i, c in enumerate(img_all):
-        norm = np.asarray(cam1.lift(jnp.asarray(c, jnp.float32)))
+        norm = lift_norm(c)
         hn = _dlt_homography(obj[:, :2], norm)
         poses1[i] = _pose_from_homography(hn, eye)
     params, poses, rms = solve(obj_j, img_j, valid_j, params,
@@ -312,7 +381,10 @@ def render_chessboard(rows: int, cols: int, square_px: int, cam,
     yy, xx = np.mgrid[0:h * ss, 0:w * ss]
     px = np.stack([(xx + 0.5) / ss - 0.5, (yy + 0.5) / ss - 0.5], -1)
     norm = np.asarray(cam.lift(jnp.asarray(px.reshape(-1, 2), jnp.float32)))
-    rays = np.concatenate([norm, np.ones((len(norm), 1), np.float32)], 1)
+    if norm.shape[-1] == 3:   # projective-ray lift (Scaramuzza)
+        rays = norm
+    else:
+        rays = np.concatenate([norm, np.ones((len(norm), 1), np.float32)], 1)
     # intersect with board plane z=0 in world: X = R rays*s + t, X_z = 0
     rc = r_wc.T  # world->cam is (r_wc, t_wc): x_cam = r_wc X + t_wc
     # ray in world: X(s) = rc @ (rays*s - t_wc)

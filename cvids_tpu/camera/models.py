@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["EquidistantCamera", "MeiCamera", "ScaramuzzaCamera",
-           "calibrate_pinhole", "calibrate_equidistant", "calibrate_mei"]
+           "calibrate_pinhole", "calibrate_equidistant", "calibrate_mei",
+           "calibrate_scaramuzza", "fit_forward_poly"]
 
 
 class EquidistantCamera(NamedTuple):
@@ -197,7 +198,7 @@ class ScaramuzzaCamera(NamedTuple):
 def _calibrate_gn(project_fn, n_params: int, obj_pts: jax.Array,
                   img_pts: jax.Array, valid: jax.Array,
                   init_params: jax.Array, poses0: jax.Array,
-                  iters: int = 20):
+                  iters: int = 20, prior=None):
     """Joint intrinsics+poses Gauss-Newton over V planar-target views.
 
     `project_fn(params (n_params,), pts_cam (..., 3)) -> pixels (..., 2)` is
@@ -205,8 +206,12 @@ def _calibrate_gn(project_fn, n_params: int, obj_pts: jax.Array,
     poses0 (V, 6) [rvec, tvec] board->camera. Levenberg-damped (relative
     1e-4 diag) with Jacobi preconditioning — the reference runs the same
     joint problem through Ceres (`intrinsic_calib.cc:1-247`, per-model
-    `estimateIntrinsics` + `CostFunctionFactory`). Returns (params, poses,
-    rms)."""
+    `estimateIntrinsics` + `CostFunctionFactory`).
+
+    prior: optional (param_indices, targets, weights) soft prior appended to
+    the residual vector — pins gauge-like parameter valleys (e.g. the OCAM
+    affine) without meaningfully biasing well-constrained solutions.
+    Returns (params, poses, rms over data residuals only)."""
     from ..geometry import quat_to_matrix, so3_exp
 
     v_count = obj_pts.shape[0]
@@ -221,8 +226,15 @@ def _calibrate_gn(project_fn, n_params: int, obj_pts: jax.Array,
             res = project_fn(params, pc) - ip
             return jnp.where(vd[..., None], res, 0.0)
 
-        return jax.vmap(one)(poses, obj_pts, img_pts, valid).reshape(-1)
+        res = jax.vmap(one)(poses, obj_pts, img_pts, valid).reshape(-1)
+        if prior is not None:
+            idx, tgt, wgt = prior
+            res = jnp.concatenate([
+                res, (params[jnp.asarray(idx)] - jnp.asarray(tgt))
+                * jnp.asarray(wgt)])
+        return res
 
+    n_data = 2 * obj_pts.shape[0] * obj_pts.shape[1]
     res_j = jax.jit(residuals)
     jac_j = jax.jit(jax.jacfwd(residuals))
 
@@ -251,7 +263,7 @@ def _calibrate_gn(project_fn, n_params: int, obj_pts: jax.Array,
             lam = min(lam * 10.0, 1e8)
         if not accepted:
             break
-    r = res_j(flat)
+    r = res_j(flat)[:n_data]
     n_obs = jnp.maximum(jnp.sum(valid), 1)
     rms = jnp.sqrt(jnp.sum(r ** 2) / n_obs)
     return flat[:n_params], flat[n_params:].reshape(v_count, 6), rms
@@ -293,6 +305,62 @@ def calibrate_equidistant(obj_pts: jax.Array, img_pts: jax.Array,
 
     return _calibrate_gn(project, 8, obj_pts, img_pts, valid, init_params,
                          poses0, iters)
+
+
+def fit_forward_poly(inv_poly: jax.Array, theta_min: float = -np.pi / 2 + 0.02,
+                     theta_max: float = -0.45, degree: int = 4,
+                     samples: int = 256) -> jax.Array:
+    """Forward polynomial z = poly(φ) from a calibrated inverse polynomial
+    ρ(θ) (the Scaramuzza convention pair: θ = atan2(poly(φ), φ) at sensor
+    radius φ = ρ(θ)). On the optical axis poly(0) = lim φ·tanθ = −f, which is
+    the OCamCalib a0 < 0 convention."""
+    theta = jnp.linspace(theta_min, theta_max, samples)
+    phi = jnp.polyval(inv_poly[::-1], theta)
+    z = phi * jnp.tan(theta)
+    vand = phi[:, None] ** jnp.arange(degree + 1)[None, :]
+    coef, *_ = jnp.linalg.lstsq(vand, z)
+    return coef
+
+
+def calibrate_scaramuzza(obj_pts: jax.Array, img_pts: jax.Array,
+                         valid: jax.Array, init_params: jax.Array,
+                         poses0: jax.Array, iters: int = 30):
+    """Scaramuzza omnidirectional calibration (camodocal
+    `ScaramuzzaCamera.cc` estimateIntrinsics + Ceres refinement role,
+    `intrinsic_calib.cc --camera-model scaramuzza`).
+
+    Parameterized directly in projection space — the inverse polynomial
+    ρ(θ) plus the affine [[C,D],[E,1]] and center — so the joint GN is the
+    plain reprojection problem; the forward polynomial the model stores is
+    recovered afterwards with `fit_forward_poly`.
+
+    init_params (Q+5,) = [b0..b_{Q-1} inverse-poly coefficients (ρ(θ) =
+    Σ b_i θ^i), C, D, E, cx, cy]. Returns (params (Q+5,), poses (V, 6),
+    rms)."""
+    nb = int(init_params.shape[0]) - 5
+
+    def project(params, pc):
+        b = params[:nb]
+        c, d, e = params[nb], params[nb + 1], params[nb + 2]
+        cx, cy = params[nb + 3], params[nb + 4]
+        x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+        nrm = jnp.sqrt(x * x + y * y)
+        theta = jnp.arctan2(-z, jnp.maximum(nrm, 1e-9))
+        rho = jnp.polyval(b[::-1], theta)
+        inv_n = 1.0 / jnp.maximum(nrm, 1e-9)
+        xn = x * inv_n * rho
+        yn = y * inv_n * rho
+        return jnp.stack([xn * c + yn * d + cx, xn * e + yn + cy], axis=-1)
+
+    # the affine [[C,D],[E,1]] is near-degenerate with the polynomial and
+    # the center over bounded board coverage; a weak identity prior pins
+    # the valley (real OCAM affines are within ~1e-2 of identity) without
+    # biasing well-constrained data
+    prior = (np.array([nb, nb + 1, nb + 2]),
+             np.array([1.0, 0.0, 0.0], np.float32),
+             np.array([1000.0, 1000.0, 1000.0], np.float32))
+    return _calibrate_gn(project, nb + 5, obj_pts, img_pts, valid,
+                         init_params, poses0, iters, prior=prior)
 
 
 def calibrate_mei(obj_pts: jax.Array, img_pts: jax.Array,

@@ -340,6 +340,30 @@ class CollaborativeServer:
     def trajectory(self, cid: int):
         return self.graph.trajectory(cid)
 
+    def export_viewer(self, path: str) -> str:
+        """Write the self-contained interactive WebGL viewer (trajectories,
+        frusta, loop edges, TSDF mesh; the Pangolin-window role,
+        `server_plotter.h:286-600`)."""
+        from ..utils.viewer import export_viewer_html
+        return export_viewer_html(path, server=self.graph,
+                                  volume=self.volume)
+
+    def live_viewer(self, host: str = "127.0.0.1", port: int = 0):
+        """Serve a live re-polling viewer of this running server (the
+        rviz/Pangolin live-view role). Returns a LiveViewer with `.url`."""
+        from ..utils.viewer import LiveViewer, collect_state
+
+        def state():
+            with self.graph._lock:
+                st = self.graph.store
+                # rev changes on ingest, loop acceptance AND optimizer
+                # writeback (pose content hash), so the page re-pulls
+                rev = (st.count + self.graph.loop_count * 100003
+                       + (hash(st.world_p[:st.count].tobytes())
+                          & 0xFFFFFFF))
+                return collect_state(self.graph, self.volume, rev=rev)
+        return LiveViewer(state, host=host, port=port)
+
     def save_loop_overlay(self, path: str) -> bool:
         """Render the most recent accepted loop closure as a side-by-side
         match image (the reference plotter's loop diagnostic,

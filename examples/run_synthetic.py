@@ -31,6 +31,8 @@ def main():
                     help="write a trajectory PNG here")
     ap.add_argument("--tum-prefix", type=str, default=None,
                     help="write pose<cid>.txt TUM trajectories")
+    ap.add_argument("--viewer", type=str, default=None,
+                    help="write the interactive WebGL viewer HTML here")
     args = ap.parse_args()
 
     from cvids_tpu.io import multiagent
@@ -95,6 +97,10 @@ def main():
         from cvids_tpu.utils import visualization as viz
         if viz.plot_trajectories(args.plot, server, gt):
             print(f"wrote {args.plot}")
+    if args.viewer:
+        from cvids_tpu.utils.viewer import export_viewer_html
+        export_viewer_html(args.viewer, server)
+        print(f"wrote {args.viewer} (open in a browser; 's' exports TUM)")
     return 0
 
 

@@ -27,6 +27,31 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The XLA CPU thunk runtime JIT-allocates ~3 memory maps per compiled
+# kernel, and compiled executables stay cached for the life of the process;
+# a full slow-suite run accumulates >65530 maps (the default
+# vm.max_map_count), after which mmap fails and the NEXT compile aborts the
+# interpreter (observed: `pytest -m slow` dying in test_frontend's first
+# window-BA compile with `Fatal Python error: Aborted`, one thread, no
+# message — while every test passes in isolation). Two defenses:
+# raise the limit when we can, and drop executable caches between tests.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("262144")
+except (OSError, PermissionError, ValueError):
+    pass  # not root / not Linux: the per-test cache clear still bounds usage
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_heavy_tests(request):
+    yield
+    # only slow tests compile enough to matter; clearing after every fast
+    # test would force pointless recompiles of shared small programs
+    if request.node.get_closest_marker("slow") is not None:
+        jax.clear_caches()
+
 
 @pytest.fixture
 def rng():

@@ -328,8 +328,12 @@ def calibrate_chessboards(images: list, rows: int, cols: int,
                 r_ = np.polyval(b[::-1], th) - phi_max
                 dr = np.polyval(np.polyder(b[::-1]), th)
                 th = th - r_ / (dr if abs(dr) > 1e-9 else 1e-9)
+            # fit over the OBSERVED θ range (capped just below 0 to stay
+            # clear of the θ→0 tan regime) — a hard clamp at -0.3 would
+            # truncate the fit inside the data for FOVs beyond ~146° and
+            # leave the forward polynomial extrapolating over the outer FOV
             poly = fit_forward_poly(p[:6],
-                                    theta_max=float(min(th, -0.3)))
+                                    theta_max=float(min(th, -0.02)))
             return ScaramuzzaCamera(poly, p[:6], p[6], p[7], p[8],
                                     p[9], p[10], width, height)
     else:

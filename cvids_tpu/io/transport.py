@@ -128,6 +128,8 @@ class CollaborativeSocketServer:
         self.port = self._listener.getsockname()[1]
         self._conn_threads: list[threading.Thread] = []
         self._open_conns = 0
+        self._conns_seen = 0
+        self._inflight = 0
         self._accept_thread = threading.Thread(target=self._accept_loop,
                                                daemon=True)
         self._ingest_wake = threading.Event()
@@ -151,6 +153,7 @@ class CollaborativeSocketServer:
                                  daemon=True)
             with self._qlock:
                 self._open_conns += 1
+                self._conns_seen += 1
             t.start()
             self._conn_threads.append(t)
 
@@ -201,6 +204,10 @@ class CollaborativeSocketServer:
                         d = mq.popleft()
                         d["image"] = iq.popleft()["image"]
                         self.packets_matched += 1
+                        # mark in-flight under the SAME lock acquisition that
+                        # pops the pair: drain() must never observe empty
+                        # queues while the packet is between pop and sink
+                        self._inflight += 1
                         return codec.decode_packet(d)
                     if tm < ti:        # stale msg: its image never arrived
                         mq.popleft()
@@ -218,31 +225,48 @@ class CollaborativeSocketServer:
                 pkt = self._match_one()
                 if pkt is None:
                     break
-                if callable(self.sink):
-                    self.sink(pkt)
-                else:
-                    self.sink.submit(pkt)
-                    if self.process_each:
-                        self.sink.process()
+                try:
+                    if callable(self.sink):
+                        self.sink(pkt)
+                    else:
+                        self.sink.submit(pkt)
+                        if self.process_each:
+                            self.sink.process()
+                finally:
+                    with self._qlock:
+                        self._inflight -= 1
 
     # ---------- lifecycle ----------
 
-    def drain(self, timeout: float = 30.0) -> bool:
+    def drain(self, timeout: float = 30.0, min_conns: int = 1) -> bool:
         """Block until every connected agent disconnected and all matchable
-        pairs were ingested. Returns False on timeout."""
+        pairs were fully ingested. Returns False on timeout.
+
+        A server that has never seen a connection is NOT drained: before any
+        agent connects the queues are trivially empty, and returning True
+        then would report success before the stream even started (the
+        round-4 startup race). `min_conns` is the number of agent
+        connections that must have been observed (ever, not concurrently)
+        before "drained" can be true — pass the expected agent count when
+        known."""
         t0 = time.time()
+        min_conns = max(1, int(min_conns))
         while time.time() - t0 < timeout:
             with self._qlock:
+                seen = self._conns_seen
                 conns = self._open_conns
+                busy = self._inflight
                 pending = any(m and self._imgs.get(c)
                               for c, m in self._msgs.items())
-            if conns == 0 and not pending and not self._ingest_wake.is_set():
+            if (seen >= min_conns and conns == 0 and busy == 0
+                    and not pending and not self._ingest_wake.is_set()):
                 # one settle pass for the ingest thread
                 time.sleep(0.05)
                 with self._qlock:
+                    busy = self._inflight
                     pending = any(m and self._imgs.get(c)
                                   for c, m in self._msgs.items())
-                if not pending:
+                if busy == 0 and not pending:
                     return True
             time.sleep(0.02)
         return False

@@ -17,6 +17,7 @@ programs without shared-memory locking.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -344,24 +345,48 @@ class CollaborativeServer:
         """Write the self-contained interactive WebGL viewer (trajectories,
         frusta, loop edges, TSDF mesh; the Pangolin-window role,
         `server_plotter.h:286-600`)."""
-        from ..utils.viewer import export_viewer_html
-        return export_viewer_html(path, server=self.graph,
-                                  volume=self.volume)
+        from ..utils.viewer import collect_state, export_viewer_html
+        with self.graph._lock:
+            state = collect_state(self.graph, self.volume)
+        return export_viewer_html(path, state=state)
 
     def live_viewer(self, host: str = "127.0.0.1", port: int = 0):
         """Serve a live re-polling viewer of this running server (the
-        rviz/Pangolin live-view role). Returns a LiveViewer with `.url`."""
-        from ..utils.viewer import LiveViewer, collect_state
+        rviz/Pangolin live-view role). Returns a LiveViewer with `.url`.
+
+        The /state.json handler is cheap when nothing changed: rev is
+        computed under the graph lock, and an unchanged rev returns the
+        cached serialized body without re-collecting (in particular without
+        re-running the marching-cubes mesh extraction, which itself runs
+        OUTSIDE the graph lock — the volume is only mutated by ingest, which
+        rev's keyframe count already tracks)."""
+        import json as _json
+
+        from ..utils.viewer import (LiveViewer, collect_state,
+                                    collect_volume_state)
+        cache: dict = {"rev": None, "body": None}
+        cache_lock = threading.Lock()
+
+        def _rev_locked():
+            st = self.graph.store
+            # rev changes on ingest, loop acceptance AND optimizer
+            # writeback (pose content hash), so the page re-pulls
+            return (st.count + self.graph.loop_count * 100003
+                    + (hash(st.world_p[:st.count].tobytes()) & 0xFFFFFFF))
 
         def state():
             with self.graph._lock:
-                st = self.graph.store
-                # rev changes on ingest, loop acceptance AND optimizer
-                # writeback (pose content hash), so the page re-pulls
-                rev = (st.count + self.graph.loop_count * 100003
-                       + (hash(st.world_p[:st.count].tobytes())
-                          & 0xFFFFFFF))
-                return collect_state(self.graph, self.volume, rev=rev)
+                rev = _rev_locked()
+            with cache_lock:
+                if cache["rev"] == rev:
+                    return cache["body"]
+            with self.graph._lock:
+                st = collect_state(self.graph, volume=None, rev=rev)
+            st.update(collect_volume_state(self.volume))
+            body = _json.dumps(st)
+            with cache_lock:
+                cache["rev"], cache["body"] = rev, body
+            return body
         return LiveViewer(state, host=host, port=port)
 
     def save_loop_overlay(self, path: str) -> bool:

@@ -85,6 +85,14 @@ def collect_state(server, volume=None, max_tris: int = 60000,
                  "seg": _b64(seg),
                  "inter": _b64(g.loop_inter[:g.loop_count][keep]),
                  "ok": _b64(g.loop_pcm_ok[:g.loop_count][keep])}
+    vstate = collect_volume_state(vol, max_tris=max_tris)
+    return {"rev": int(rev), "agents": agents, "loops": loops, **vstate}
+
+
+def collect_volume_state(vol, max_tris: int = 60000) -> dict:
+    """Mesh + chunk-box part of the viewer state. Split out so callers can
+    run the (expensive) marching-cubes extraction OUTSIDE any pose-graph
+    lock — the TSDF volume is not guarded by it."""
     mesh = {"n": 0, "pos": "", "col": "", "nrm": ""}
     chunks = {"n": 0, "seg": "", "size": 0.0}
     if vol is not None and getattr(vol, "slot_of", None):
@@ -103,8 +111,7 @@ def collect_state(server, volume=None, max_tris: int = 60000,
         side = float(vol.cfg.chunk_size * vol.cfg.voxel_size)
         corners = np.asarray(list(vol.slot_of.keys()), np.float32) * side
         chunks = {"n": int(len(corners)), "seg": _b64(corners), "size": side}
-    return {"rev": int(rev), "agents": agents, "loops": loops, "mesh": mesh,
-            "chunks": chunks}
+    return {"mesh": mesh, "chunks": chunks}
 
 
 def export_viewer_html(path: str, server=None, volume=None,
@@ -117,12 +124,19 @@ def export_viewer_html(path: str, server=None, volume=None,
     """
     if state is None:
         state = collect_state(server, volume)
-    html = (_HTML.replace("__TITLE__", title)
+    html = (_HTML.replace("__TITLE__", _html_escape(title))
             .replace("__LIVE__", "false")
             .replace("__STATE__", json.dumps(state)))
     with open(path, "w") as f:
         f.write(html)
     return path
+
+
+def _html_escape(title: str) -> str:
+    """Escape a user-supplied title for interpolation into the page — a
+    '</script>'-bearing title must not break or inject into the HTML."""
+    import html as _html
+    return _html.escape(title).replace("/", "&#47;")
 
 
 class LiveViewer:
@@ -137,14 +151,19 @@ class LiveViewer:
                  title: str = "cvids-tpu live viewer"):
         import http.server
 
-        html = (_HTML.replace("__TITLE__", title)
+        html = (_HTML.replace("__TITLE__", _html_escape(title))
                 .replace("__LIVE__", "true")
                 .replace("__STATE__", "null"))
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):                          # noqa: N802 (stdlib)
                 if self.path.split("?")[0] == "/state.json":
-                    body = json.dumps(state_fn()).encode()
+                    st = state_fn()
+                    # state_fn may return a pre-serialized JSON string
+                    # (cached by the server when rev is unchanged)
+                    body = (st.encode() if isinstance(st, str)
+                            else st if isinstance(st, bytes)
+                            else json.dumps(st).encode())
                     ctype = "application/json"
                 else:
                     body = html.encode()

@@ -40,6 +40,13 @@ try:
         if int(_f.read()) < 262144:
             with open("/proc/sys/vm/max_map_count", "w") as _f:
                 _f.write("262144")
+            # a system-wide, persistent sysctl change deserves a visible
+            # notice, not a silent side effect of collecting tests
+            import warnings as _warnings
+            _warnings.warn("conftest raised vm.max_map_count to 262144 "
+                           "(system-wide, persists until reboot) to keep "
+                           "the slow suite's XLA JIT maps under the limit",
+                           stacklevel=1)
 except (OSError, PermissionError, ValueError):
     pass  # not root / not Linux: the per-test cache clear still bounds usage
 

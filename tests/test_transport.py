@@ -83,6 +83,24 @@ def test_socket_matching_and_drops():
     assert match.image is not None and match.image.shape == (8, 8)
 
 
+def test_drain_waits_for_first_connection():
+    """drain() must NOT report success before any agent has connected —
+    at t=0 the queues are trivially empty (the round-4 startup race)."""
+    srv = transport.CollaborativeSocketServer(lambda p: None)
+    try:
+        assert not srv.drain(timeout=0.4)
+        # once an agent connects, streams, and disconnects, drain succeeds
+        s = transport.AgentSocketSender("127.0.0.1", srv.port)
+        s.send_packet(_mini_packet(0, 1.0))
+        s.close()
+        assert srv.drain(timeout=20.0)
+        assert srv.packets_matched == 1
+        # and an expected-agent count above what connected keeps it waiting
+        assert not srv.drain(timeout=0.4, min_conns=2)
+    finally:
+        srv.stop()
+
+
 def _agent_worker(root, cid, port):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -173,7 +191,10 @@ def test_two_agent_processes_stream_to_server(tmp_path):
     try:
         for p in procs:
             p.start()
-        assert srv.drain(timeout=1800.0), "transport did not drain"
+        # min_conns=2: drained is only meaningful after BOTH agents have
+        # connected, streamed, and disconnected (r4 startup race fix)
+        assert srv.drain(timeout=1800.0, min_conns=2), \
+            "transport did not drain"
         for p in procs:
             p.join(timeout=120.0)
             assert p.exitcode == 0

@@ -50,6 +50,75 @@ def _render_patch(idx: int, rad: int, du: float, dv: float,
     return ((0.55 + 0.45 * tex) * env).astype(np.float32)
 
 
+def _render_patches_batch(idxs: np.ndarray, rad: int, du: np.ndarray,
+                          dv: np.ndarray, env_sigma: float) -> np.ndarray:
+    """Vectorized `_render_patch` over N landmarks -> (N, 2r+1, 2r+1).
+
+    The per-landmark Python loop was the dominant cost of rendering a frame
+    (~0.8 s at 1400 landmarks); batching the 8-sinusoid evaluation over all
+    visible landmarks cuts a frame to tens of ms, which is what makes
+    camera-rate (10-20 Hz) rendered worlds affordable for tests."""
+    n = len(idxs)
+    params = np.stack([np.concatenate(_patch_params(int(i))) for i in idxs])
+    freq, theta = params[:, 0:8], params[:, 8:16]
+    phase, amp = params[:, 16:24], params[:, 24:32]
+    grid = np.arange(-rad, rad + 1, dtype=np.float64)
+    xs = grid[None, None, :] - du[:, None, None]       # (N, 1, S)
+    ys = grid[None, :, None] - dv[:, None, None]       # (N, S, 1)
+    # (N, S, S, 8) phase argument, summed over the 8 sinusoids
+    arg = (freq[:, None, None, :]
+           * (np.cos(theta)[:, None, None, :] * xs[..., None]
+              + np.sin(theta)[:, None, None, :] * ys[..., None])
+           + phase[:, None, None, :])
+    tex = np.einsum("nijk,nk->nij", np.cos(arg), amp)
+    env = np.exp(-0.5 * (xs ** 2 + ys ** 2) / env_sigma ** 2)
+    out = (0.55 + 0.45 * tex) * env
+    assert out.shape == (n, 2 * rad + 1, 2 * rad + 1)
+    return out.astype(np.float32)
+
+
+def _project_np(cam, pts_c: np.ndarray) -> np.ndarray:
+    """NumPy radtan projection (the `ServerCamera::Project` polynomial) —
+    the renderer projects a DIFFERENT number of visible landmarks every
+    frame, and the eager JAX `cam.project` recompiled per shape (~30 ms per
+    frame, the dominant world-render cost)."""
+    z = np.where(np.abs(pts_c[:, 2:3]) > 1e-9, pts_c[:, 2:3], 1e-9)
+    x, y = pts_c[:, 0] / z[:, 0], pts_c[:, 1] / z[:, 0]
+    k1, k2, p1, p2 = [float(d) for d in np.asarray(cam.dist)]
+    r2 = x * x + y * y
+    rad = k1 * r2 + k2 * r2 * r2
+    dx = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = y * rad + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+    return np.stack([float(cam.fx) * (x + dx) + float(cam.cx),
+                     float(cam.fy) * (y + dy) + float(cam.cy)], -1)
+
+
+@lru_cache(maxsize=16)
+def _ray_grid_cached(key) -> np.ndarray:
+    """Unit-norm camera rays for every pixel — depends only on the camera
+    intrinsics, so computed once per camera, not once per frame."""
+    fx, fy, cx, cy, k1, k2, p1, p2, w, h = key
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    xd = (uu.ravel() - cx) / fx
+    yd = (vv.ravel() - cy) / fy
+    x, y = xd.copy(), yd.copy()
+    for _ in range(8):   # fixed-point undistort, `server_camera.cpp:21-59`
+        r2 = x * x + y * y
+        rad = k1 * r2 + k2 * r2 * r2
+        dx = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = y * rad + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+        x, y = xd - dx, yd - dy
+    rays = np.stack([x, y, np.ones_like(x)])            # (3, N) unit-z
+    return rays / np.linalg.norm(rays, axis=0, keepdims=True)
+
+
+def _cam_key(cam):
+    d = np.asarray(cam.dist, np.float64)
+    return (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            float(d[0]), float(d[1]), float(d[2]), float(d[3]),
+            int(cam.width), int(cam.height))
+
+
 def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
                  r_wb: np.ndarray, p_wb: np.ndarray,
                  r_cb: np.ndarray, p_bc: np.ndarray,
@@ -73,17 +142,26 @@ def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
     pts_c = (pts_b - p_bc) @ r_cb.T
     z = pts_c[:, 2]
     ok = z > 0.2
-    import jax.numpy as jnp
-    px = np.asarray(cam.project(jnp.asarray(pts_c[ok], jnp.float32)))
+    px = _project_np(cam, pts_c[ok]).astype(np.float32)
     env_sigma = max(float(sigma), 3.0)
     rad = int(round(4 * env_sigma))
-    for idx, (u, v), inten in zip(np.nonzero(ok)[0], px, intensities[ok]):
-        ui, vi = int(np.floor(u)), int(np.floor(v))
-        if not (rad <= ui < w - rad - 1 and rad <= vi < h - rad - 1):
-            continue
-        patch = _render_patch(int(idx), rad, float(u - ui), float(v - vi),
-                              env_sigma)
-        img[vi - rad:vi + rad + 1, ui - rad:ui + rad + 1] += inten * patch
+    idx_all = np.nonzero(ok)[0]
+    ui = np.floor(px[:, 0]).astype(np.int64)
+    vi = np.floor(px[:, 1]).astype(np.int64)
+    inb = ((ui >= rad) & (ui < w - rad - 1) & (vi >= rad) & (vi < h - rad - 1))
+    if inb.any():
+        idxs = idx_all[inb]
+        du = (px[inb, 0] - ui[inb]).astype(np.float64)
+        dv = (px[inb, 1] - vi[inb]).astype(np.float64)
+        patches = _render_patches_batch(idxs, rad, du, dv, env_sigma)
+        patches *= intensities[ok][inb][:, None, None].astype(np.float32)
+        side = 2 * rad + 1
+        offs = np.arange(-rad, rad + 1)
+        rows = vi[inb][:, None, None] + offs[None, :, None]   # (N, S, 1)
+        cols = ui[inb][:, None, None] + offs[None, None, :]   # (N, 1, S)
+        flat = (rows * w + cols).reshape(-1)
+        np.add.at(img.reshape(-1), flat,
+                  patches.reshape(len(idxs), side, side).reshape(-1))
     return np.clip(img, 0, 255)
 
 
@@ -160,18 +238,7 @@ def render_textured_scene(cam, r_wc: np.ndarray, t_wc: np.ndarray,
     if scene is None:
         scene = default_scene()
     h, w = cam.height, cam.width
-    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
-    px = np.stack([uu.ravel(), vv.ravel()], -1).astype(np.float32)
-    if np.any(np.asarray(cam.dist)):
-        import jax.numpy as jnp
-        rays = np.asarray(cam.lift_to_ray(jnp.asarray(px))).T  # (3, N) unit-z
-        rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
-    else:
-        k = np.array([[float(cam.fx), 0, float(cam.cx)],
-                      [0, float(cam.fy), float(cam.cy)], [0, 0, 1.0]])
-        kinv = np.linalg.inv(k)
-        rays = kinv @ np.concatenate([px.T, np.ones((1, h * w))])
-        rn = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+    rn = _ray_grid_cached(_cam_key(cam))      # (3, H*W), unit-norm
     d_w = r_wc @ rn
     o = t_wc
     ts = np.full(h * w, np.inf)

@@ -65,7 +65,8 @@ def _proj_residual_one(p, q, kf_valid, r_cb, p_bc, pix_weight, huber_delta,
 def solve_window_schur_sharded(mesh: Mesh, state: WindowState,
                                meas: WindowMeasurements, iters: int = 8,
                                init_lambda: float = 1e-3,
-                               anchor_weight: float = 1e3
+                               anchor_weight: float = 1e3,
+                               audit_label: str | None = None
                                ) -> tuple[WindowState, jax.Array]:
     """LM with Schur landmark elimination, landmarks sharded over `mesh`.
 
@@ -73,6 +74,10 @@ def solve_window_schur_sharded(mesh: Mesh, state: WindowState,
     a dense prior couples all landmarks and belongs on the replicated path).
     Pads the landmark axis to a mesh multiple; returns state in the original
     capacity.
+
+    `audit_label`: when set, the compiled HLO's cross-device collectives are
+    summarized (payload per instruction) and printed under this label —
+    the production-shape collective audit (VERDICT r4 item 4).
     """
     if meas.prior is not None:
         raise ValueError("sharded Schur solve does not support a dense prior")
@@ -219,10 +224,18 @@ def solve_window_schur_sharded(mesh: Mesh, state: WindowState,
                   repl, repl, repl, repl, repl, repl),  # pre + extrinsics
         out_specs=(repl, repl, repl, repl, repl, shd, repl),
         check_vma=False)
-    p, q, v, bg, ba_, lm_out, cost = jax.jit(fn)(
-        state.p, state.q, state.v, state.bg, state.ba, state.kf_valid,
-        lm_p, lmv_p, obs_lk, vis_lk, meas.pre, meas.pre_valid,
-        meas.r_cb, meas.p_bc, meas.anchor_p,
-        jnp.asarray(meas.anchor_yaw, state.p.dtype))
+    args = (state.p, state.q, state.v, state.bg, state.ba, state.kf_valid,
+            lm_p, lmv_p, obs_lk, vis_lk, meas.pre, meas.pre_valid,
+            meas.r_cb, meas.p_bc, meas.anchor_p,
+            jnp.asarray(meas.anchor_yaw, state.p.dtype))
+    jitted = jax.jit(fn)
+    if audit_label is not None:
+        from .audit import summarize_collectives
+        compiled = jitted.lower(*args).compile()
+        print(f"  {summarize_collectives(compiled, audit_label)}",
+              flush=True)
+        p, q, v, bg, ba_, lm_out, cost = compiled(*args)
+    else:
+        p, q, v, bg, ba_, lm_out, cost = jitted(*args)
     out = state._replace(p=p, q=q, v=v, bg=bg, ba=ba_, lm=lm_out[:l])
     return out, cost

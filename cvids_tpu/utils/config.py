@@ -47,7 +47,16 @@ class AgentConfig:
     imu: ImuNoise = field(default_factory=ImuNoise)
     max_features: int = 150       # `max_cnt` (euroc_config.yaml:44)
     min_feature_dist: int = 30    # `min_dist` (:45)
-    keyframe_freq: float = 10.0   # `freq` (:46)
+    keyframe_freq: float = 10.0   # `freq` (:46) — max keyframe publish rate
+    # camera-rate keyframe selection (`AgentFrontend.process_frame`):
+    # median rotation-compensated parallax (pixels, scaled by fx) that
+    # promotes a frame to keyframe — VINS `keyframe_parallax: 10`
+    keyframe_parallax: float = 10.0
+    # failsafe: force a keyframe after this many seconds without one
+    max_kf_interval: float = 1.0
+    # track-survival trigger: keyframe when fewer than this fraction of the
+    # last keyframe's features are still tracked
+    kf_min_survival: float = 0.55
     # full-image FAST+BRIEF features per packet for the server's loop
     # matcher — decoupled from the tracker budget: the reference extracts
     # ALL corners at threshold 20, typically 500-1000

@@ -36,13 +36,16 @@ __all__ = ["AgentFrontend"]
 
 
 class AgentFrontend:
-    WINDOW = 8          # sliding-window keyframes
-    MAX_IMU = 128       # IMU samples per keyframe interval (0.5 s @ 200 Hz = 100)
+    MAX_IMU = 256       # IMU samples per keyframe interval (1.28 s @ 200 Hz)
     LM_MULT = 4         # landmark-slot pool = LM_MULT x max_features
 
     def __init__(self, cfg: AgentConfig, client_id: int = 0):
         self.cfg = cfg
         self.client_id = client_id
+        # sliding-window length: the VINS operating point is 10
+        # (`euroc_config.yaml` window_size; raised from 8 per VERDICT r4
+        # item 2 — the longer window keeps ~25 % more parallax per solve)
+        self.WINDOW = int(getattr(cfg, "window_size", 10) or 10)
         c = cfg.camera
         self.cam = PinholeCamera.create(c.fx, c.fy, c.cx, c.cy,
                                         (c.k1, c.k2, c.p1, c.p2),
@@ -84,6 +87,15 @@ class AgentFrontend:
         self._prior: ba.PriorFactor | None = None  # marginalization prior
         self._post_boot = 0        # keyframes solved since the VI bootstrap
         self._sfm_rng = jax.random.PRNGKey(4242)   # pre-init RANSAC stream
+
+        # camera-rate tracking state (`process_frame`): IMU accumulated since
+        # the last keyframe, the last keyframe's feature snapshot for the
+        # parallax decision, and the propagated IMU pose for KLT seeding
+        self._imu_buf: list = []          # (gyr, acc, dt) row tuples
+        self._kf_t: float | None = None   # last keyframe timestamp
+        self._kf_feat_xy: dict = {}       # feature id -> pixel at last KF
+        self._kf_norm: dict = {}          # feature id -> normalized at KF
+        self._kf_state = None             # (p, q, v, bg, ba) at last KF
 
         # one fused jit for the packet's image work (blur + window BRIEF +
         # FAST + full-image BRIEF + undistort-lift) on fixed-capacity arrays
@@ -388,11 +400,7 @@ class AgentFrontend:
 
     # ---------- main entry ----------
 
-    def process_keyframe(self, timestamp: float, image: np.ndarray,
-                         imu_gyr: np.ndarray, imu_acc: np.ndarray,
-                         imu_dts: np.ndarray) -> KeyframePacket | None:
-        """Feed one keyframe-rate image + the IMU batch since the previous
-        keyframe. Returns a KeyframePacket once the window is solvable."""
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
         if self.cfg.equalize:
             # global photometric normalization (the `equalize: 1` role,
             # euroc_config.yaml:47): auto-exposure gain flicker otherwise
@@ -401,6 +409,23 @@ class AgentFrontend:
             s = float(image.std())
             image = np.clip((image - m) * (48.0 / max(s, 1.0)) + 110.0,
                             0.0, 255.0).astype(np.float32)
+        return image
+
+    def process_keyframe(self, timestamp: float, image: np.ndarray,
+                         imu_gyr: np.ndarray, imu_acc: np.ndarray,
+                         imu_dts: np.ndarray) -> KeyframePacket | None:
+        """Feed one keyframe-rate image + the IMU batch since the previous
+        keyframe. Returns a KeyframePacket once the window is solvable."""
+        image = self._preprocess(image)
+        return self._ingest_keyframe(timestamp, image, imu_gyr, imu_acc,
+                                     imu_dts, tracked=False)
+
+    def _ingest_keyframe(self, timestamp: float, image: np.ndarray,
+                         imu_gyr: np.ndarray, imu_acc: np.ndarray,
+                         imu_dts: np.ndarray,
+                         tracked: bool) -> KeyframePacket | None:
+        """Window update for a frame already promoted to keyframe. `tracked`:
+        features were already tracked onto `image` (camera-rate path)."""
         w, mf = self.WINDOW, self.MAX_FEAT
 
         slot = min(self.n_in_window, w - 1)
@@ -460,11 +485,14 @@ class AgentFrontend:
                 kf_valid=st.kf_valid.at[slot].set(True))
 
         # track with IMU/landmark-predicted feature positions, then re-detect
-        prev = max(slot - 1, 0)
-        init_xy = self._predict_features(np.asarray(p_pred), np.asarray(q_pred),
-                                         np.asarray(st.p[prev]),
-                                         np.asarray(st.q[prev]))
-        self._track_and_detect(image, init_xy)
+        # (skipped when the camera-rate path already tracked onto this frame)
+        if not tracked:
+            prev = max(slot - 1, 0)
+            init_xy = self._predict_features(np.asarray(p_pred),
+                                             np.asarray(q_pred),
+                                             np.asarray(st.p[prev]),
+                                             np.asarray(st.q[prev]))
+            self._track_and_detect(image, init_xy)
 
         # observations: normalized coords of tracked features, slot-aligned
         # landmark bookkeeping by feature id
@@ -555,6 +583,152 @@ class AgentFrontend:
         ready = (self.initialized and self.vi_initialized
                  and self._post_boot > self.cfg.publish_warmup)
         return self._emit_packet(timestamp, image) if ready else None
+
+    # ---------- camera-rate tracking + keyframe selection ----------
+
+    def process_frame(self, timestamp: float, image: np.ndarray,
+                      imu_gyr: np.ndarray, imu_acc: np.ndarray,
+                      imu_dts: np.ndarray) -> KeyframePacket | None:
+        """Camera-rate entry point — the reference's actual agent contract:
+        the feature tracker runs at the FULL camera rate (20 Hz on EuRoC)
+        and keyframes are selected/published at ~`freq` Hz by rotation-
+        compensated parallax and track survival
+        (`config/euroc/euroc_config.yaml:44-46`; VINS `keyframe_parallax`
+        semantics). Tracking every frame keeps per-step KLT flow small
+        (within pyramid capture range) while the window solve still runs at
+        keyframe rate.
+
+        Feed EVERY camera frame, with the IMU batch since the PREVIOUS
+        FRAME. Returns a KeyframePacket when this frame was promoted to a
+        keyframe and the window is publishable, else None.
+        """
+        image = self._preprocess(image)
+        g = np.asarray(imu_gyr, np.float32).reshape(-1, 3)
+        a = np.asarray(imu_acc, np.float32).reshape(-1, 3)
+        d = np.asarray(imu_dts, np.float32).reshape(-1)
+        for row in zip(g, a, d[:len(g)]):
+            self._imu_buf.append(row)
+
+        if self.kf_count == 0:
+            pkt = self._ingest_keyframe(timestamp, image, imu_gyr, imu_acc,
+                                        imu_dts, tracked=False)
+            self._snapshot_keyframe(timestamp)
+            return pkt
+
+        gyr_b, acc_b, dt_b = self._imu_buf_arrays()
+        p_pred, q_pred = self._propagate_from_kf(gyr_b, acc_b, dt_b)
+        # seed KLT with the prediction relative to the PREVIOUS frame's
+        # propagated pose (features live in the previous frame)
+        p_prev, q_prev = self._prop_pose
+        init_xy = self._predict_features(p_pred, q_pred, p_prev, q_prev)
+        self._track_and_detect(image, init_xy)
+        self._prop_pose = (p_pred, q_pred)
+
+        if not self._keyframe_decision(timestamp, q_pred):
+            return None
+        pkt = self._ingest_keyframe(timestamp, image, gyr_b, acc_b, dt_b,
+                                    tracked=True)
+        self._snapshot_keyframe(timestamp)
+        return pkt
+
+    def _imu_buf_arrays(self):
+        if not self._imu_buf:
+            return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+                    np.zeros(0, np.float32))
+        g = np.stack([r[0] for r in self._imu_buf])
+        a = np.stack([r[1] for r in self._imu_buf])
+        d = np.asarray([r[2] for r in self._imu_buf], np.float32)
+        return g, a, d
+
+    def _propagate_from_kf(self, gyr: np.ndarray, acc: np.ndarray,
+                           dts: np.ndarray):
+        """IMU dead-reckoned (p, q) at the current frame from the last
+        keyframe's solved state — re-preintegrates the accumulated buffer
+        (fixed MAX_IMU shape: one compiled program) so the per-frame
+        prediction stays consistent with the keyframe-time factor."""
+        p_kf, q_kf, v_kf, bg_kf, ba_kf = self._kf_state
+        if len(gyr) == 0:
+            return p_kf, q_kf
+        m = self.MAX_IMU
+        g = np.zeros((m, 3), np.float32)
+        a = np.zeros((m, 3), np.float32)
+        dt = np.zeros(m, np.float32)
+        vmask = np.zeros(m, bool)
+        n = min(len(gyr), m)
+        g[:n], a[:n], dt[:n], vmask[:n] = gyr[:n], acc[:n], dts[:n], True
+        pre = imu_mod.preintegrate(jnp.asarray(g), jnp.asarray(a),
+                                   jnp.asarray(dt), jnp.asarray(bg_kf),
+                                   jnp.asarray(ba_kf),
+                                   sample_valid=jnp.asarray(vmask))
+        from ..geometry import quat_multiply, quat_normalize
+        r_kf = quat_to_matrix_np(q_kf)
+        tt = float(pre.dt)
+        p = (p_kf + v_kf * tt
+             + 0.5 * np.asarray(imu_mod.GRAVITY) * tt * tt
+             + r_kf @ np.asarray(pre.dp))
+        q = np.asarray(quat_normalize(quat_multiply(jnp.asarray(q_kf),
+                                                    pre.dq)))
+        return p.astype(np.float32), q.astype(np.float32)
+
+    def _keyframe_decision(self, timestamp: float, q_pred: np.ndarray) -> bool:
+        """Promote the current frame to a keyframe? Reference semantics:
+        parallax-triggered at ~freq Hz, plus a track-survival trigger and a
+        max-interval failsafe."""
+        cfg = self.cfg
+        dt_kf = timestamp - (self._kf_t if self._kf_t is not None else -1e9)
+        freq = float(getattr(cfg, "keyframe_freq", 10.0) or 10.0)
+        if dt_kf < 0.8 / freq:                      # publish-rate ceiling
+            return False
+        if dt_kf >= float(getattr(cfg, "max_kf_interval", 1.0)):
+            return True
+        # survival: fraction of last-keyframe features still tracked
+        alive_ids = set(int(i) for i, v in zip(self.feat_id, self.feat_valid)
+                        if v)
+        kf_ids = set(self._kf_feat_xy.keys())
+        if kf_ids:
+            survival = len(kf_ids & alive_ids) / len(kf_ids)
+            if survival < float(getattr(cfg, "kf_min_survival", 0.55)):
+                return True
+        # rotation-compensated parallax vs the last keyframe (VINS
+        # keyframe_parallax, default 10 px): rotate current rays into the
+        # keyframe camera, compare against the keyframe's normalized coords
+        common = [(j, int(i)) for j, (i, v) in
+                  enumerate(zip(self.feat_id, self.feat_valid))
+                  if v and int(i) in self._kf_norm]
+        if len(common) < 8:
+            return True                              # tracking collapsed
+        slots = np.asarray([c[0] for c in common])
+        norm_now = np.asarray(self.cam.lift(jnp.asarray(self.feat_xy)))
+        rays1 = np.concatenate([norm_now[slots],
+                                np.ones((len(slots), 1), np.float32)], -1)
+        r_wb0 = quat_to_matrix_np(self._kf_state[1])
+        r_wb1 = quat_to_matrix_np(q_pred)
+        r_c0c1 = self.r_cb @ (r_wb0.T @ r_wb1) @ self.r_cb.T
+        rays0 = rays1 @ r_c0c1.T
+        z = np.maximum(rays0[:, 2], 1e-6)
+        comp = rays0[:, :2] / z[:, None]
+        ref = np.asarray([self._kf_norm[c[1]] for c in common])
+        par = np.median(np.linalg.norm(comp - ref, axis=1))
+        thresh = float(getattr(cfg, "keyframe_parallax", 10.0)) / \
+            float(self.cam.fx)
+        return bool(par >= thresh)
+
+    def _snapshot_keyframe(self, timestamp: float):
+        """Record the keyframe-time reference for the camera-rate path."""
+        slot = max(self.n_in_window - 1, 0)
+        st = self.state
+        self._kf_t = timestamp
+        self._kf_state = (np.asarray(st.p[slot]), np.asarray(st.q[slot]),
+                          np.asarray(st.v[slot]), np.asarray(st.bg[slot]),
+                          np.asarray(st.ba[slot]))
+        self._prop_pose = (self._kf_state[0], self._kf_state[1])
+        norm = np.asarray(self.cam.lift(jnp.asarray(self.feat_xy)))
+        self._kf_feat_xy = {int(i): xy.copy() for i, xy, v in
+                            zip(self.feat_id, self.feat_xy, self.feat_valid)
+                            if v}
+        self._kf_norm = {int(i): n.copy() for i, n, v in
+                         zip(self.feat_id, norm, self.feat_valid) if v}
+        self._imu_buf = []
 
     def _try_vi_bootstrap(self):
         """Gyro-bias calibration + gravity/velocity/scale alignment over the

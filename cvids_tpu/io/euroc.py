@@ -80,7 +80,10 @@ def load_agent_config(root: str, cam: str = "cam0"):
     t_bs = np.asarray(c["T_BS"]["data"], np.float64).reshape(4, 4)
     cam_cfg = CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy,
                            k1=dist[0], k2=dist[1], p1=dist[2], p2=dist[3],
-                           width=int(w), height=int(h))
+                           width=int(w), height=int(h),
+                           model=str(c.get("camera_model",
+                                           "pinhole")).lower(),
+                           xi=float(c.get("mirror_parameter", 0.0)))
     kwargs = dict(camera=cam_cfg,
                   r_cb=tuple(map(tuple, t_bs[:3, :3].T)),
                   p_bc=tuple(t_bs[:3, 3]))

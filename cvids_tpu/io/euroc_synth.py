@@ -51,10 +51,13 @@ def _cam_sensor_yaml(cfg: CameraConfig, r_cb: np.ndarray, p_bc: np.ndarray,
         f"  data: [{data}]\n"
         f"rate_hz: {rate_hz}\n"
         f"resolution: [{cfg.width}, {cfg.height}]\n"
-        "camera_model: pinhole\n"
+        f"camera_model: {cfg.model}\n"
         f"intrinsics: [{cfg.fx}, {cfg.fy}, {cfg.cx}, {cfg.cy}]\n"
-        "distortion_model: radial-tangential\n"
-        f"distortion_coefficients: [{cfg.k1}, {cfg.k2}, {cfg.p1}, {cfg.p2}]\n"
+        + (f"mirror_parameter: {cfg.xi}\n" if cfg.model == "mei" else "")
+        + ("distortion_model: equidistant\n"
+           if cfg.model in ("equidistant", "kannala_brandt")
+           else "distortion_model: radial-tangential\n")
+        + f"distortion_coefficients: [{cfg.k1}, {cfg.k2}, {cfg.p1}, {cfg.p2}]\n"
         # feature-tracker keys (the reference carries these in the same
         # per-agent config: `config/euroc/euroc_config.yaml:44-45`); the
         # EuRoC loader treats them as optional extensions
@@ -140,13 +143,10 @@ def write_euroc_sequence(
 
     import jax.numpy as jnp
 
-    from ..camera.pinhole import PinholeCamera
+    from ..camera import make_camera
     from ..geometry import quat_to_matrix
 
-    cam = PinholeCamera.create(
-        cam_cfg.fx, cam_cfg.fy, cam_cfg.cx, cam_cfg.cy,
-        (cam_cfg.k1, cam_cfg.k2, cam_cfg.p1, cam_cfg.p2),
-        cam_cfg.width, cam_cfg.height)
+    cam = make_camera(cam_cfg)
     r_cb = np.asarray(cfg.r_cb, np.float64)
     p_bc = np.asarray(cfg.p_bc, np.float64)
 

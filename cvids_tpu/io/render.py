@@ -78,10 +78,36 @@ def _render_patches_batch(idxs: np.ndarray, rad: int, du: np.ndarray,
 
 
 def _project_np(cam, pts_c: np.ndarray) -> np.ndarray:
-    """NumPy radtan projection (the `ServerCamera::Project` polynomial) —
-    the renderer projects a DIFFERENT number of visible landmarks every
-    frame, and the eager JAX `cam.project` recompiled per shape (~30 ms per
-    frame, the dominant world-render cost)."""
+    """NumPy projection dispatching on the camera model (pinhole radtan /
+    Kannala-Brandt equidistant / Mei) — the renderer projects a DIFFERENT
+    number of visible landmarks every frame, and the eager JAX
+    `cam.project` recompiled per shape (~30 ms per frame, the dominant
+    world-render cost)."""
+    kind = type(cam).__name__
+    fx, fy = float(cam.fx), float(cam.fy)
+    cx, cy = float(cam.cx), float(cam.cy)
+    if kind == "EquidistantCamera":
+        k = np.asarray(cam.k, np.float64)
+        x, y, z = pts_c[:, 0], pts_c[:, 1], pts_c[:, 2]
+        r = np.hypot(x, y)
+        theta = np.arctan2(r, z)
+        t2 = theta * theta
+        td = theta * (1 + k[0] * t2 + k[1] * t2 ** 2 + k[2] * t2 ** 3
+                      + k[3] * t2 ** 4)
+        scale = np.where(r > 1e-9, td / np.maximum(r, 1e-9), 1.0)
+        return np.stack([fx * x * scale + cx, fy * y * scale + cy], -1)
+    if kind == "MeiCamera":
+        xi = float(cam.xi)
+        k1, k2, p1, p2 = [float(d) for d in np.asarray(cam.dist)]
+        p = pts_c / np.linalg.norm(pts_c, axis=-1, keepdims=True)
+        zs = np.maximum(p[:, 2] + xi, 1e-9)
+        x, y = p[:, 0] / zs, p[:, 1] / zs
+        r2 = x * x + y * y
+        rad = k1 * r2 + k2 * r2 * r2
+        dx = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = y * rad + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+        return np.stack([fx * (x + dx) + cx, fy * (y + dy) + cy], -1)
+    # pinhole + radtan (`ServerCamera::Project`)
     z = np.where(np.abs(pts_c[:, 2:3]) > 1e-9, pts_c[:, 2:3], 1e-9)
     x, y = pts_c[:, 0] / z[:, 0], pts_c[:, 1] / z[:, 0]
     k1, k2, p1, p2 = [float(d) for d in np.asarray(cam.dist)]
@@ -89,34 +115,64 @@ def _project_np(cam, pts_c: np.ndarray) -> np.ndarray:
     rad = k1 * r2 + k2 * r2 * r2
     dx = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
     dy = y * rad + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
-    return np.stack([float(cam.fx) * (x + dx) + float(cam.cx),
-                     float(cam.fy) * (y + dy) + float(cam.cy)], -1)
+    return np.stack([fx * (x + dx) + cx, fy * (y + dy) + cy], -1)
 
 
 @lru_cache(maxsize=16)
 def _ray_grid_cached(key) -> np.ndarray:
     """Unit-norm camera rays for every pixel — depends only on the camera
     intrinsics, so computed once per camera, not once per frame."""
-    fx, fy, cx, cy, k1, k2, p1, p2, w, h = key
+    kind, fx, fy, cx, cy, d0, d1, d2, d3, xi, w, h = key
     uu, vv = np.meshgrid(np.arange(w), np.arange(h))
     xd = (uu.ravel() - cx) / fx
     yd = (vv.ravel() - cy) / fy
-    x, y = xd.copy(), yd.copy()
-    for _ in range(8):   # fixed-point undistort, `server_camera.cpp:21-59`
+    if kind == "EquidistantCamera":
+        # Newton-invert r(θ) (the model's lift, numpy)
+        k = (d0, d1, d2, d3)
+        td = np.hypot(xd, yd)
+        th = td.copy()
+        for _ in range(10):
+            t2 = th * th
+            f = th * (1 + k[0] * t2 + k[1] * t2 ** 2 + k[2] * t2 ** 3
+                      + k[3] * t2 ** 4) - td
+            df = (1 + 3 * k[0] * t2 + 5 * k[1] * t2 ** 2
+                  + 7 * k[2] * t2 ** 3 + 9 * k[3] * t2 ** 4)
+            th = th - f / np.maximum(df, 1e-9)
+        scale = np.where(td > 1e-9, np.tan(th) / np.maximum(td, 1e-9), 1.0)
+        x, y = xd * scale, yd * scale
+    elif kind == "MeiCamera":
+        x, y = xd.copy(), yd.copy()
+        for _ in range(8):
+            r2 = x * x + y * y
+            rad = d0 * r2 + d1 * r2 * r2
+            ddx = x * rad + 2.0 * d2 * x * y + d3 * (r2 + 2.0 * x * x)
+            ddy = y * rad + 2.0 * d3 * x * y + d2 * (r2 + 2.0 * y * y)
+            x, y = xd - ddx, yd - ddy
         r2 = x * x + y * y
-        rad = k1 * r2 + k2 * r2 * r2
-        dx = x * rad + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
-        dy = y * rad + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
-        x, y = xd - dx, yd - dy
+        disc = 1.0 + (1.0 - xi * xi) * r2
+        zs = (xi + np.sqrt(np.maximum(disc, 0.0))) / (1.0 + r2)
+        zz = np.maximum(zs - xi, 1e-9)
+        x, y = zs * x / zz, zs * y / zz
+    else:
+        x, y = xd.copy(), yd.copy()
+        for _ in range(8):   # fixed-point undistort, `server_camera.cpp:21-59`
+            r2 = x * x + y * y
+            rad = d0 * r2 + d1 * r2 * r2
+            ddx = x * rad + 2.0 * d2 * x * y + d3 * (r2 + 2.0 * x * x)
+            ddy = y * rad + 2.0 * d3 * x * y + d2 * (r2 + 2.0 * y * y)
+            x, y = xd - ddx, yd - ddy
     rays = np.stack([x, y, np.ones_like(x)])            # (3, N) unit-z
     return rays / np.linalg.norm(rays, axis=0, keepdims=True)
 
 
 def _cam_key(cam):
-    d = np.asarray(cam.dist, np.float64)
-    return (float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-            float(d[0]), float(d[1]), float(d[2]), float(d[3]),
-            int(cam.width), int(cam.height))
+    kind = type(cam).__name__
+    d = np.asarray(cam.k if kind == "EquidistantCamera" else cam.dist,
+                   np.float64)
+    xi = float(getattr(cam, "xi", 0.0)) if kind == "MeiCamera" else 0.0
+    return (kind, float(cam.fx), float(cam.fy), float(cam.cx),
+            float(cam.cy), float(d[0]), float(d[1]), float(d[2]),
+            float(d[3]), xi, int(cam.width), int(cam.height))
 
 
 def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,

@@ -37,6 +37,7 @@ class CameraConfig:
     width: int = 752
     height: int = 480
     model: str = "pinhole"  # pinhole | equidistant | mei
+    xi: float = 0.0         # Mei mirror offset (unused by other models)
 
 
 @dataclass

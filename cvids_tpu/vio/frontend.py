@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..camera import PinholeCamera
+from ..camera import make_camera
 from ..geometry import g2r, matrix_to_quat, quat_to_matrix
 from ..geometry.hostmath import quat_to_matrix_np
 from ..io.msgs import KeyframePacket
@@ -46,10 +46,11 @@ class AgentFrontend:
         # (`euroc_config.yaml` window_size; raised from 8 per VERDICT r4
         # item 2 — the longer window keeps ~25 % more parallax per solve)
         self.WINDOW = int(getattr(cfg, "window_size", 10) or 10)
-        c = cfg.camera
-        self.cam = PinholeCamera.create(c.fx, c.fy, c.cx, c.cy,
-                                        (c.k1, c.k2, c.p1, c.p2),
-                                        c.width, c.height)
+        # polymorphic camera (pinhole / equidistant fisheye / Mei) — the
+        # camodocal `Camera` role in the live pipeline
+        # (`camera_models/Camera.h:72-90`); the front-end only touches the
+        # lift/project interface + an effective focal for pixel weights
+        self.cam = make_camera(cfg.camera)
         self.r_cb = np.asarray(cfg.r_cb, np.float32)
         self.p_bc = np.asarray(cfg.p_bc, np.float32)
 
@@ -84,7 +85,9 @@ class AgentFrontend:
         self.initialized = False
         self.vi_initialized = False   # gyro-bias + gravity/scale bootstrap done
         self._last_solved = None
-        self._prior: ba.PriorFactor | None = None  # marginalization prior
+        # camera-only marginalization prior (VINS design: landmarks never
+        # enter the prior; see `window_ba.CamPriorFactor`)
+        self._prior: ba.CamPriorFactor | None = None
         self._post_boot = 0        # keyframes solved since the VI bootstrap
         self._sfm_rng = jax.random.PRNGKey(4242)   # pre-init RANSAC stream
 
@@ -115,6 +118,19 @@ class AgentFrontend:
             return wdesc, kps.xy, kps.valid, edesc, euv
 
         self._emit_compute = jax.jit(_emit_compute)
+
+        # re-detection as one jitted program with a FIXED candidate budget:
+        # asking for exactly n_free keypoints re-specialized the top-k per
+        # distinct free-slot count (a recompile nearly every frame once the
+        # tracker churns); the fill loop below takes what it needs
+        def _redetect_compute(img, thresh, existing_xy, existing_valid):
+            score = fast.fast_score_map(img, thresh)
+            return fast.select_keypoints(
+                score, max_num=mf, cell=cfg.min_feature_dist,
+                existing_xy=existing_xy, existing_valid=existing_valid,
+                min_dist=float(cfg.min_feature_dist))
+
+        self._redetect_compute = jax.jit(_redetect_compute)
 
     # ---------- feature maintenance ----------
 
@@ -211,15 +227,13 @@ class AgentFrontend:
         inb = ((self.feat_xy[:, 0] >= b) & (self.feat_xy[:, 0] < image.shape[1] - b)
                & (self.feat_xy[:, 1] >= b) & (self.feat_xy[:, 1] < image.shape[0] - b))
         self.feat_valid &= inb
-        # re-detect into free slots
+        # re-detect into free slots (fixed-budget jitted program; the fill
+        # loop consumes candidates until the free slots run out)
         n_free = int((~self.feat_valid).sum())
         if n_free > 0:
-            score = fast.fast_score_map(img_j, cfg.fast_threshold)
-            kps = fast.select_keypoints(
-                score, max_num=n_free, cell=cfg.min_feature_dist,
-                existing_xy=jnp.asarray(self.feat_xy),
-                existing_valid=jnp.asarray(self.feat_valid),
-                min_dist=float(cfg.min_feature_dist))
+            kps = self._redetect_compute(
+                img_j, jnp.asarray(cfg.fast_threshold, jnp.float32),
+                jnp.asarray(self.feat_xy), jnp.asarray(self.feat_valid))
             new_xy = np.asarray(kps.xy)
             new_ok = np.array(kps.valid)  # writable copy
             new_ok &= ((new_xy[:, 0] >= b) & (new_xy[:, 0] < image.shape[1] - b)
@@ -239,64 +253,39 @@ class AgentFrontend:
 
     # ---------- window management ----------
 
-    # tangent layout of `window_ba`: ravel_pytree over the sorted delta dict
-    # -> [dba (K*3), dbg (K*3), dlm (L*3), dp (K*3), dth (K*3), dv (K*3)]
-    def _tangent_offsets(self):
-        k, l = self.WINDOW, self.MAX_LM
-        return {"dba": 0, "dbg": 3 * k, "dlm": 6 * k,
-                "dp": 6 * k + 3 * l, "dth": 9 * k + 3 * l,
-                "dv": 12 * k + 3 * l}
-
-    def _clear_prior_lm(self, slot: int):
-        """Zero the prior's columns for a landmark slot that is being
-        reassigned to a NEW landmark — the old linearized information must
-        not constrain an unrelated point."""
-        if self._prior is None:
-            return
-        o = self._tangent_offsets()["dlm"] + 3 * slot
-        self._prior = self._prior._replace(
-            j=self._prior.j.at[:, o:o + 3].set(0.0))
-
     def _marginalize_oldest(self):
-        """Schur-marginalize the leaving keyframe (and landmarks losing their
-        last observation) into a linearized prior over the shifted window —
-        the fixed-lag-smoother consistency step (VINS marginalization).
-        Without it the window simply forgets everything older than WINDOW
-        keyframes and the trajectory random-walks between solves."""
+        """Schur-marginalize the leaving keyframe (and the landmarks dying
+        with it) into a CAMERA-ONLY linearized prior over the shifted window
+        — the fixed-lag-smoother consistency step (VINS marginalization,
+        `marginalization_factor.cpp`: the prior spans pose/velocity/bias
+        blocks only, never landmarks). Without it the window simply forgets
+        everything older than WINDOW keyframes and the trajectory
+        random-walks between solves."""
         st = self.state
         meas = self._build_meas()
-        k, l = self.WINDOW, self.MAX_LM
-        offs = self._tangent_offsets()
+        k = self.WINDOW
         dying = self.vis[0] & ~self.vis[1:].any(axis=0)
-        mask = np.zeros(15 * k + 3 * l, bool)
-        for f in ("dba", "dbg", "dp", "dth", "dv"):
-            mask[offs[f]:offs[f] + 3] = True  # slot 0 of each kf field
-        lm0 = offs["dlm"]
-        mask[lm0:lm0 + 3 * l] = np.repeat(dying, 3)
-        j, r0 = ba.marginalize_prior(st, meas, jnp.asarray(mask))
+        j, r0 = ba.marginalize_prior_cam(st, meas, jnp.asarray(dying))
         j = np.asarray(j)
         if not (np.isfinite(j).all() and np.isfinite(np.asarray(r0)).all()):
             # a numerically-broken prior poisons every later solve (NaN
             # cost); dropping one marginalization step only loses a little
             # smoothing information
             return None
-        # re-index columns into the post-shift layout: kf slot s -> s-1, the
-        # (duplicated) newest slot unconstrained; dead landmark slots zeroed
+        # re-index columns into the post-shift layout: kf slot s -> s-1
+        # within each of the 5 camera blocks; the newest slot unconstrained
         jn = np.zeros_like(j)
-        for f in ("dba", "dbg", "dp", "dth", "dv"):
-            o = offs[f]
+        for b in range(5):
+            o = 3 * k * b
             jn[:, o:o + 3 * (k - 1)] = j[:, o + 3:o + 3 * k]
-        jn[:, lm0:lm0 + 3 * l] = (j[:, lm0:lm0 + 3 * l]
-                                  * np.repeat(~dying, 3)[None, :])
         roll_np = lambda a: np.concatenate([a[1:], a[-1:]], axis=0)
-        return ba.PriorFactor(
+        return ba.CamPriorFactor(
             j=jnp.asarray(jn), r0=jnp.asarray(r0),
             p=jnp.asarray(roll_np(np.asarray(st.p))),
             q=jnp.asarray(roll_np(np.asarray(st.q))),
             v=jnp.asarray(roll_np(np.asarray(st.v))),
             bg=jnp.asarray(roll_np(np.asarray(st.bg))),
-            ba=jnp.asarray(roll_np(np.asarray(st.ba))),
-            lm=st.lm)
+            ba=jnp.asarray(roll_np(np.asarray(st.ba))))
 
     def _shift_window(self):
         """Fixed-lag slide: marginalize the oldest keyframe into the prior,
@@ -313,20 +302,9 @@ class AgentFrontend:
         self.vis = np.concatenate([self.vis[1:], np.zeros_like(self.vis[:1])])
         self.pre_list = self.pre_list[1:] + [None]
         self.n_in_window -= 1
-        # landmarks no longer observed anywhere leave the window — and their
-        # prior columns must be zeroed NOW, not at slot reuse: live dead
-        # columns let the solver absorb prior residuals through unconstrained
-        # landmark directions, silently weakening the pose/bias prior (the
-        # round-3 late-sequence drift: the 4x landmark pool made dead slots
-        # linger for many keyframes before _clear_prior_lm fired)
+        # landmarks no longer observed anywhere leave the window (the prior
+        # is camera-only, so no prior column bookkeeping is needed)
         seen = self.vis.any(axis=0)
-        dropped = ~seen & (self.lm_id >= 0)
-        if self._prior is not None and dropped.any():
-            o = self._tangent_offsets()["dlm"]
-            col_mask = np.ones(self._prior.j.shape[1], bool)
-            col_mask[o:o + 3 * self.MAX_LM] = np.repeat(~dropped, 3)
-            self._prior = self._prior._replace(
-                j=self._prior.j * jnp.asarray(col_mask)[None, :])
         self.state = self.state._replace(
             lm_valid=self.state.lm_valid & jnp.asarray(seen))
         self.lm_id[~seen] = -1
@@ -508,7 +486,6 @@ class AgentFrontend:
                     continue
                 lm_slot = free[:1]
                 self.lm_id[lm_slot[0]] = fid
-                self._clear_prior_lm(int(lm_slot[0]))
             s_ = int(lm_slot[0])
             self.obs[slot, s_] = norm_xy[f]
             self.vis[slot, s_] = True
@@ -709,8 +686,11 @@ class AgentFrontend:
         comp = rays0[:, :2] / z[:, None]
         ref = np.asarray([self._kf_norm[c[1]] for c in common])
         par = np.median(np.linalg.norm(comp - ref, axis=1))
-        thresh = float(getattr(cfg, "keyframe_parallax", 10.0)) / \
-            float(self.cam.fx)
+        # VINS convention: `parallax * FOCAL_LENGTH >= MIN_PARALLAX` with a
+        # FIXED virtual focal of 460 px, independent of the actual camera
+        # (feature_manager.cpp compensatedParallax2) — so 10 px means
+        # 10/460 rad of compensated angular motion
+        thresh = float(getattr(cfg, "keyframe_parallax", 10.0)) / 460.0
         return bool(par >= thresh)
 
     def _snapshot_keyframe(self, timestamp: float):
@@ -829,7 +809,8 @@ class AgentFrontend:
         # so one pass can expose new >4 px observations.
         for _round in range(3):
             meas = self._build_meas()
-            self.state, cost = ba.solve_window(self.state, meas, iters=iters)
+            self.state, cost = ba.solve_window_fast(self.state, meas,
+                                                    iters=iters)
             self._last_solved = float(cost)
             # outlier gating: kill observations whose post-solve
             # reprojection error exceeds ~4 px (the front-end contract's

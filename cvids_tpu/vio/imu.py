@@ -70,7 +70,22 @@ def preintegrate(gyr: jax.Array, acc: jax.Array, dts: jax.Array,
 
     `sample_valid` masks padding samples (dt treated as 0) so fixed-shape
     batches of variable-length intervals jit cleanly.
+
+    One jitted program per (shape, noise) — the camera-rate front-end
+    re-preintegrates its accumulated buffer every frame, and the eager
+    `lax.scan` re-traced its body per call (~1 s/frame on a CPU host).
     """
+    if sample_valid is None:
+        sample_valid = jnp.ones(dts.shape[0], bool)
+    return _preintegrate_jit(gyr, acc, dts, bg, ba, sample_valid, noise)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("noise",))
+def _preintegrate_jit(gyr, acc, dts, bg, ba, sample_valid,
+                      noise) -> Preintegrated:
     if sample_valid is not None:
         dts = jnp.where(sample_valid, dts, 0.0)
     g_unb = gyr - bg

@@ -25,9 +25,10 @@ from jax.flatten_util import ravel_pytree
 from ..geometry import quat_multiply, quat_normalize, quat_rotate, quat_inverse, so3_exp, quat_to_matrix
 from .imu import Preintegrated, imu_residual
 
-__all__ = ["WindowState", "WindowMeasurements", "PriorFactor", "solve_window",
-           "solve_window_schur", "triangulate", "reprojection_residuals",
-           "marginalize_prior"]
+__all__ = ["WindowState", "WindowMeasurements", "PriorFactor",
+           "CamPriorFactor", "solve_window", "solve_window_schur",
+           "solve_window_fast", "triangulate", "reprojection_residuals",
+           "marginalize_prior", "marginalize_prior_cam"]
 
 
 class WindowState(NamedTuple):
@@ -53,6 +54,27 @@ class PriorFactor(NamedTuple):
     bg: jax.Array
     ba: jax.Array
     lm: jax.Array
+
+
+class CamPriorFactor(NamedTuple):
+    """Camera-only linearized prior: r(dc) = j @ dc + r0 with dc the 15K
+    camera tangent in [dp, dth, dv, dbg, dba] block order (each block K x 3
+    row-major) — the `_retract_cam`/Schur layout.
+
+    This is the VINS marginalization design (`marginalization_factor.cpp`):
+    features hosted by the marginalized frame are eliminated WITH it and the
+    prior spans only pose/velocity/bias blocks. A camera-only prior keeps
+    H_ll exactly 3x3 block-diagonal, which is what makes the Schur
+    landmark elimination (`solve_window_fast`, the sharded solver) exact.
+    """
+
+    j: jax.Array    # (P, 15K)
+    r0: jax.Array   # (P,)
+    p: jax.Array    # linearization camera states
+    q: jax.Array
+    v: jax.Array
+    bg: jax.Array
+    ba: jax.Array
 
 
 class WindowMeasurements(NamedTuple):
@@ -105,6 +127,26 @@ def local_diff(state: WindowState, ref_p, ref_q, ref_v, ref_bg, ref_ba, ref_lm):
                  dlm=state.lm - ref_lm)
     flat, _ = ravel_pytree(delta)
     return flat
+
+
+def cam_local_diff(state: WindowState, prior: CamPriorFactor) -> jax.Array:
+    """state ⊖ prior linearization over camera blocks, in the
+    [dp, dth, dv, dbg, dba] layout of `CamPriorFactor.j`."""
+    from ..geometry import so3_log
+    dth = jax.vmap(lambda a, b: so3_log(quat_multiply(quat_inverse(b), a)))(
+        state.q, prior.q)
+    return jnp.concatenate([
+        (state.p - prior.p).reshape(-1), dth.reshape(-1),
+        (state.v - prior.v).reshape(-1), (state.bg - prior.bg).reshape(-1),
+        (state.ba - prior.ba).reshape(-1)])
+
+
+def _prior_residual(state: WindowState, prior) -> jax.Array:
+    if isinstance(prior, CamPriorFactor):
+        return prior.j @ cam_local_diff(state, prior) + prior.r0
+    dx = local_diff(state, prior.p, prior.q, prior.v, prior.bg, prior.ba,
+                    prior.lm)
+    return prior.j @ dx + prior.r0
 
 
 def reprojection_residuals(state: WindowState, meas: WindowMeasurements) -> jax.Array:
@@ -162,9 +204,7 @@ def _cam_residuals(state: WindowState, meas: WindowMeasurements,
     ])
     parts = [r_imu, r_anchor, r_bias_prior]
     if meas.prior is not None:
-        dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
-                        meas.prior.bg, meas.prior.ba, meas.prior.lm)
-        parts.append(meas.prior.j @ dx + meas.prior.r0)
+        parts.append(_prior_residual(state, meas.prior))
     return jnp.concatenate(parts)
 
 
@@ -427,9 +467,7 @@ def _marg_residuals(state: WindowState, meas: WindowMeasurements) -> jax.Array:
                             state.bg[0] * (meas.bg_prior_weight * w0)])
     parts = [r_proj, r_imu, r_bp]
     if meas.prior is not None:
-        dx = local_diff(state, meas.prior.p, meas.prior.q, meas.prior.v,
-                        meas.prior.bg, meas.prior.ba, meas.prior.lm)
-        parts.append(meas.prior.j @ dx + meas.prior.r0)
+        parts.append(_prior_residual(state, meas.prior))
     return jnp.concatenate(parts)
 
 
@@ -485,3 +523,259 @@ def marginalize_prior(state: WindowState, meas: WindowMeasurements,
     inv_sqrt = jnp.where(sqrt_w > eig_floor, 1.0 / jnp.maximum(sqrt_w, eig_floor), 0.0)
     r0_prior = (v * inv_sqrt[None, :]) @ (v.T @ g_new)
     return j_prior, r0_prior
+
+
+# ---------------------------------------------------------------------------
+# Camera-only marginalization + structure-exploiting Schur solve — the
+# front-end's production path (round 5).
+# ---------------------------------------------------------------------------
+
+def retract_cam(state: WindowState, dc: jax.Array) -> WindowState:
+    """Apply a camera-block tangent in the [dp, dth, dv, dbg, dba] layout
+    (landmarks untouched) — the Schur/`CamPriorFactor` layout."""
+    k = state.p.shape[0]
+    return retract(state, dict(
+        dp=dc[0:k * 3].reshape(k, 3), dth=dc[k * 3:k * 6].reshape(k, 3),
+        dv=dc[k * 6:k * 9].reshape(k, 3), dbg=dc[k * 9:k * 12].reshape(k, 3),
+        dba=dc[k * 12:k * 15].reshape(k, 3),
+        dlm=jnp.zeros_like(state.lm)))
+
+
+def _slot0_residuals(state: WindowState, meas: WindowMeasurements,
+                     dying: jax.Array) -> jax.Array:
+    """Residuals of the VINS marginalization factor set, computed compactly:
+    slot-0 reprojections of DYING landmarks only (2L rows — observations of
+    SURVIVING landmarks from the leaving frame are dropped, exactly as VINS
+    drops them so the prior stays camera-only), the slot-0/1 preintegration
+    factor, the slot-0 bias prior, and the previous (camera-only) prior."""
+    r_bw0 = quat_to_matrix(quat_inverse(state.q[0]))
+    pts_b = jnp.einsum("ij,lj->li", r_bw0, state.lm - state.p[0][None])
+    pts_c = jnp.einsum("ij,lj->li", meas.r_cb, pts_b - meas.p_bc[None])
+    z = pts_c[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    proj = pts_c[:, :2] / safe_z[:, None]
+    valid = (meas.vis[0] & dying & (z > 0.05) & state.kf_valid[0]
+             & state.lm_valid)
+    r = (proj - jnp.nan_to_num(meas.obs[0])) * meas.pix_weight
+    rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    w = jnp.sqrt(jnp.minimum(1.0, meas.huber_delta / jnp.maximum(rn, 1e-9)))
+    r_proj = jnp.where(valid[:, None], r * w, 0.0).reshape(-1)
+
+    pre0 = jax.tree_util.tree_map(lambda x: x[0], meas.pre)
+    r_imu = imu_residual(pre0, state.p[0], state.q[0], state.v[0],
+                         state.bg[0], state.ba[0], state.p[1], state.q[1],
+                         state.v[1], state.bg[1], state.ba[1],
+                         weight_bias=meas.bias_weight)
+    ok = meas.pre_valid[0] & state.kf_valid[0] & state.kf_valid[1]
+    r_imu = jnp.where(ok, r_imu, 0.0)
+
+    w0 = state.kf_valid[0].astype(state.p.dtype)
+    r_bp = jnp.concatenate([state.ba[0] * (meas.ba_prior_weight * w0),
+                            state.bg[0] * (meas.bg_prior_weight * w0)])
+    parts = [r_proj, r_imu, r_bp]
+    if meas.prior is not None:
+        parts.append(_prior_residual(state, meas.prior))
+    return jnp.concatenate(parts)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, donate_argnums=())
+def marginalize_prior_cam(state: WindowState, meas: WindowMeasurements,
+                          dying: jax.Array,
+                          eig_floor: float = 1e-8
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Schur-marginalize slot 0 (and the landmarks dying with it) into a
+    CAMERA-ONLY sqrt-information prior (j (15K, 15K), r0) over the
+    [dp, dth, dv, dbg, dba] layout at the CURRENT window indexing (the
+    caller shifts columns when it rolls the window).
+
+    This is VINS's marginalization design (`marginalization_factor.cpp`):
+    the prior never carries landmark columns, so the window solve's H_ll
+    stays block-diagonal and Schur landmark elimination stays exact — and
+    the prior itself is 15K wide instead of 15K+3L (the full-tangent
+    variant cost seconds per keyframe at L=600 on a CPU host and broke the
+    Schur solver's exactness)."""
+    k = state.p.shape[0]
+    l = state.lm.shape[0]
+    pc = 15 * k
+
+    def res_of(dcl):
+        st = retract_cam(state, dcl[:pc])
+        st = st._replace(lm=st.lm + dcl[pc:].reshape(l, 3))
+        return _slot0_residuals(st, meas, dying)
+
+    z = jnp.zeros(pc + 3 * l, state.p.dtype)
+    r0 = res_of(z)
+    jmat = jax.jacfwd(res_of)(z)
+    h = jmat.T @ jmat
+    g = jmat.T @ r0
+    # marginalize: slot-0 columns of every camera block + ALL landmark
+    # columns (dying ones carry the folded factors; surviving ones have zero
+    # information here, so eliminating them is a no-op)
+    m = jnp.zeros(pc + 3 * l, bool)
+    for b in range(5):
+        m = m.at[b * 3 * k:b * 3 * k + 3].set(True)
+    m = m.at[pc:].set(True)
+    keep = ~m
+    h_mm = jnp.where(m[:, None] & m[None, :], h,
+                     jnp.eye(h.shape[0], dtype=h.dtype))
+    mm_scale = jnp.maximum(jnp.max(jnp.abs(jnp.diag(h_mm))), 1.0)
+    h_mm = h_mm + (1e-7 * mm_scale) * jnp.diag(m.astype(h.dtype))
+    h_km = jnp.where(keep[:, None] & m[None, :], h, 0.0)
+    h_kk = jnp.where(keep[:, None] & keep[None, :], h, 0.0)
+    g_m = jnp.where(m, g, 0.0)
+    g_k = jnp.where(keep, g, 0.0)
+    sol = jnp.linalg.solve(h_mm, jnp.concatenate([h_km.T, g_m[:, None]], 1))
+    h_new = h_kk - h_km @ sol[:, :-1]
+    g_new = g_k - h_km @ sol[:, -1]
+    # compress to the camera block (landmark rows/cols are zero by
+    # construction) before the eigendecomposition: eigh(15K) not eigh(15K+3L)
+    h_cam = h_new[:pc, :pc]
+    g_cam = g_new[:pc]
+    w, v = jnp.linalg.eigh(0.5 * (h_cam + h_cam.T))
+    w_c = jnp.maximum(w, 0.0)
+    sqrt_w = jnp.sqrt(w_c)
+    j_prior = (v * sqrt_w[None, :]) @ v.T
+    inv_sqrt = jnp.where(sqrt_w > eig_floor,
+                         1.0 / jnp.maximum(sqrt_w, eig_floor), 0.0)
+    r0_prior = (v * inv_sqrt[None, :]) @ (v.T @ g_cam)
+    return j_prior, r0_prior
+
+
+def _proj_residual_one_lm(p, q, kf_valid, lm_valid_one, r_cb, p_bc,
+                          pix_weight, huber_delta, lm_pt, obs, vis):
+    """Whitened Huber reprojection residual (2K,) of ONE landmark against
+    all window keyframes — matches `reprojection_residuals` semantics."""
+    r_bw = jax.vmap(lambda qq: quat_to_matrix(quat_inverse(qq)))(q)
+    pts_b = jnp.einsum("kij,kj->ki", r_bw, lm_pt[None] - p)
+    pts_c = jnp.einsum("ij,kj->ki", r_cb, pts_b - p_bc[None])
+    z = pts_c[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    proj = pts_c[:, :2] / safe_z[:, None]
+    valid = vis & (z > 0.05) & kf_valid & lm_valid_one
+    r = (proj - jnp.nan_to_num(obs)) * pix_weight
+    rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    w = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9)))
+    return jnp.where(valid[:, None], r * w, 0.0).reshape(-1)
+
+
+def solve_window_fast(state: WindowState, meas: WindowMeasurements,
+                      iters: int = 8, init_lambda: float = 1e-3,
+                      anchor_weight: float = 1e3
+                      ) -> tuple[WindowState, jax.Array]:
+    """LM with exact Schur landmark elimination, assembled per landmark.
+
+    Same semantics as `solve_window_schur`, but the reprojection Jacobians
+    are built per landmark (vmapped (2K, 15K+3) blocks) instead of one dense
+    (R, 15K+3L) jacfwd — the cost drops from O(R·(15K+3L)) to O(L·K·15K),
+    ~10x on the agent config. This is the single-device form of
+    `parallel.window_schur.solve_window_schur_sharded`'s per-device body,
+    plus camera-only prior support (`CamPriorFactor`; a full-tangent
+    `PriorFactor` would break H_ll block-diagonality and is rejected).
+
+    The front-end's per-keyframe solve (the reference agent's 8-iteration /
+    0.04 s solver budget, `euroc_config.yaml:54-55`) runs THIS path.
+    """
+    if meas.prior is not None and not isinstance(meas.prior, CamPriorFactor):
+        raise ValueError("solve_window_fast needs a camera-only prior "
+                         "(CamPriorFactor) — full-tangent priors couple "
+                         "landmarks and break the Schur structure")
+    return _solve_window_fast_jit(state, meas, iters,
+                                  float(init_lambda), float(anchor_weight))
+
+
+@_partial(jax.jit, static_argnames=("iters",))
+def _solve_window_fast_jit(state: WindowState, meas: WindowMeasurements,
+                           iters: int, init_lambda: float,
+                           anchor_weight: float):
+    k = state.p.shape[0]
+    l = state.lm.shape[0]
+    pc = 15 * k
+    obs_lk = jnp.moveaxis(jnp.nan_to_num(meas.obs), 1, 0)   # (L, K, 2)
+    vis_lk = jnp.moveaxis(meas.vis, 1, 0)                    # (L, K)
+    pixw = meas.pix_weight
+    hub = meas.huber_delta
+    eye3 = jnp.eye(3, dtype=state.p.dtype)
+    zc = jnp.zeros(pc, state.p.dtype)
+
+    def cam_res(st):
+        return _cam_residuals(st, meas, anchor_weight)
+
+    def proj_cost(st):
+        r = jax.vmap(lambda lm_pt, lmv, o, vi: _proj_residual_one_lm(
+            st.p, st.q, st.kf_valid, lmv, meas.r_cb, meas.p_bc, pixw, hub,
+            lm_pt, o, vi))(st.lm, st.lm_valid, obs_lk, vis_lk)
+        return 0.5 * jnp.sum(r ** 2)
+
+    def total_cost(st):
+        return 0.5 * jnp.sum(cam_res(st) ** 2) + proj_cost(st)
+
+    def lm_step(carry, _):
+        st, lam, cost = carry
+
+        def cam_res_dc(dc):
+            return cam_res(retract_cam(st, dc))
+        r_cam = cam_res_dc(zc)
+        j_cam = jax.jacfwd(cam_res_dc)(zc)
+        h_cc_cam = j_cam.T @ j_cam
+        g_c_cam = j_cam.T @ r_cam
+
+        def one_lm(lm_pt, lmv, o, vi):
+            def res(dcl):
+                st2 = retract_cam(st, dcl[:pc])
+                return _proj_residual_one_lm(
+                    st2.p, st2.q, st.kf_valid, lmv, meas.r_cb, meas.p_bc,
+                    pixw, hub, lm_pt + dcl[pc:], o, vi)
+            zz = jnp.zeros(pc + 3, state.p.dtype)
+            return res(zz), jax.jacfwd(res)(zz)
+
+        r0s, jmats = jax.vmap(one_lm)(st.lm, st.lm_valid, obs_lk, vis_lk)
+        jcs, jls = jmats[:, :, :pc], jmats[:, :, pc:]
+        h_ll = jnp.einsum("lra,lrb->lab", jls, jls)
+        g_l = jnp.einsum("lra,lr->la", jls, r0s)
+        h_cl = jnp.einsum("lrc,lra->lca", jcs, jls)
+        h_cc = h_cc_cam + jnp.einsum("lrc,lrd->cd", jcs, jcs)
+        g_c = g_c_cam + jnp.einsum("lrc,lr->c", jcs, r0s)
+        cost_chk = 0.5 * (jnp.sum(r0s ** 2) + jnp.sum(r_cam ** 2))
+
+        h_ll_d = h_ll + lam * (jax.vmap(jnp.diag)(
+            jax.vmap(jnp.diag)(h_ll)) + 1e-6 * eye3)
+        observed = jnp.einsum("lab->l", jnp.abs(h_ll)) > 1e-12
+        h_ll_d = jnp.where(observed[:, None, None], h_ll_d, eye3)
+        h_ll_inv = jnp.linalg.inv(h_ll_d)
+        w_mat = jnp.einsum("lca,lab->lcb", h_cl, h_ll_inv)
+        d_cc = jnp.diag(h_cc)
+        h_red = (h_cc + jnp.diag(lam * (d_cc + 1e-6))
+                 - jnp.einsum("lcb,ldb->cd", w_mat, h_cl))
+        g_red = g_c - jnp.einsum("lcb,lb->c", w_mat, g_l)
+        d = 1.0 / jnp.sqrt(jnp.diag(h_red) + 1e-12)
+        dc = d * jax.scipy.linalg.solve(h_red * d[:, None] * d[None, :],
+                                        -(g_red * d), assume_a="pos")
+        rhs = -g_l - jnp.einsum("lca,c->la", h_cl, dc)
+        dl = jnp.einsum("lab,lb->la", h_ll_inv, rhs)
+        dl = jnp.where(observed[:, None], dl, 0.0)
+
+        st_new = retract_cam(st, dc)._replace(lm=st.lm + dl)
+        cost_new = total_cost(st_new)
+        accept = cost_new < cost
+        g_term = g_c @ dc + jnp.einsum("la,la->", g_l, dl)
+        q_cc = dc @ (h_cc @ dc)
+        q_cl = 2.0 * jnp.einsum("c,lca,la->", dc, h_cl, dl)
+        q_ll = jnp.einsum("la,lab,lb->", dl, h_ll, dl)
+        pred = -g_term - 0.5 * (q_cc + q_cl + q_ll)
+        rho = (cost - cost_new) / jnp.maximum(pred, 1e-12)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        st_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), st_new, st)
+        lam_out = jnp.where(accept, jnp.maximum(lam * shrink, 1e-10),
+                            jnp.minimum(lam * 4.0, 1e8))
+        _ = cost_chk
+        return (st_out, lam_out, jnp.where(accept, cost_new, cost)), None
+
+    cost0 = total_cost(state)
+    (state_f, _, cost_f), _ = jax.lax.scan(
+        lm_step, (state, jnp.asarray(init_lambda, state.p.dtype), cost0),
+        None, length=iters)
+    return state_f, cost_f

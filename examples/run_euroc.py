@@ -22,9 +22,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seq", action="append", required=True,
                     help="EuRoC sequence root (contains mav0/)")
-    ap.add_argument("--kf-stride", type=int, default=10,
-                    help="use every Nth camera frame as a keyframe (EuRoC "
-                         "cameras run 20 Hz; 2 keyframes/s by default)")
+    ap.add_argument("--kf-stride", type=int, default=0,
+                    help="0 (default): camera-rate tracking — the front-end "
+                         "tracks EVERY frame and selects keyframes by "
+                         "rotation-compensated parallax (the reference "
+                         "contract: tracker at 20 Hz, keyframes at ~freq "
+                         "Hz, euroc_config.yaml:44-46). N>0: legacy mode, "
+                         "every Nth frame fed directly as a keyframe")
     ap.add_argument("--max-kf", type=int, default=200)
     ap.add_argument("--tum-prefix", type=str, default=None)
     args = ap.parse_args(argv)
@@ -51,27 +55,32 @@ def main(argv=None):
     # descriptors, as the reference trains DBoW on generic imagery)
     all_packets = [[] for _ in seqs]
     for cid, (seq, fe) in enumerate(zip(seqs, frontends)):
-        frame_ids = range(0, min(len(seq.cam_t),
-                                 args.max_kf * args.kf_stride),
-                          args.kf_stride)
+        stride = max(args.kf_stride, 0)
+        if stride == 0:
+            frame_ids = range(0, min(len(seq.cam_t), args.max_kf * 10))
+            feed = fe.process_frame
+        else:
+            frame_ids = range(0, min(len(seq.cam_t), args.max_kf * stride),
+                              stride)
+            feed = fe.process_keyframe
         prev_t = None
         for fi in frame_ids:
             t = seq.cam_t[fi]
             img = seq.load_image(fi)
             if prev_t is None:
                 sel = (seq.imu_t >= t - 0.1) & (seq.imu_t < t)
-                pkt = fe.process_keyframe(t, img, np.zeros((0, 3)),
-                                          seq.acc[sel], np.zeros(0))
+                pkt = feed(t, img, np.zeros((0, 3)), seq.acc[sel],
+                           np.zeros(0))
             else:
                 sel = (seq.imu_t >= prev_t) & (seq.imu_t < t)
                 ts = seq.imu_t[sel]
                 dts = np.diff(np.append(ts, t))
-                pkt = fe.process_keyframe(t, img, seq.gyr[sel], seq.acc[sel],
-                                          dts)
+                pkt = feed(t, img, seq.gyr[sel], seq.acc[sel], dts)
             prev_t = t
             if pkt is not None:
                 all_packets[cid].append(pkt)
-        print(f"agent {cid}: {len(all_packets[cid])} keyframes")
+        print(f"agent {cid}: {len(all_packets[cid])} keyframes "
+              f"({fe.kf_count} selected, {len(frame_ids)} frames)")
 
     descs = np.concatenate([p.ext_desc[p.ext_valid]
                             for pkts in all_packets for p in pkts[:40]])

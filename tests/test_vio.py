@@ -202,3 +202,55 @@ def test_initializer_gyro_bias_and_alignment(rng):
     assert np.allclose(g, [0, 0, -9.81], atol=0.25), g
     v_err = np.linalg.norm(np.asarray(res.v) - seq.v_gt, axis=1)
     assert np.median(v_err) < 0.15, np.median(v_err)
+
+
+def test_fast_solver_matches_schur(rng):
+    """solve_window_fast (per-landmark Schur assembly, the front-end's
+    production solver) reaches the same optimum as solve_window_schur."""
+    seq = make_seq(duration=5.0, num_landmarks=40, seed=3)
+    state, meas = _build_problem(seq, perturb=0.1, rng=rng)
+    schur_out, schur_cost = ba.solve_window_schur(state, meas, iters=12)
+    fast_out, fast_cost = ba.solve_window_fast(state, meas, iters=12)
+    assert float(fast_cost) < 1.2 * float(schur_cost) + 5.0
+    ate_s = np.sqrt(np.mean(np.linalg.norm(
+        np.asarray(schur_out.p) - seq.p_gt, axis=1) ** 2))
+    ate_f = np.sqrt(np.mean(np.linalg.norm(
+        np.asarray(fast_out.p) - seq.p_gt, axis=1) ** 2))
+    assert ate_f < max(1.3 * ate_s, 0.05), (ate_f, ate_s)
+
+
+def test_cam_prior_marginalization(rng):
+    """Camera-only marginalization: finite, holds the solution near the
+    pre-marginalization estimate after the shift, and solve_window_fast
+    accepts it (the full-tangent PriorFactor is rejected)."""
+    import pytest as _pytest
+
+    seq = make_seq(duration=3.0, num_landmarks=30, seed=5)
+    state, meas = _build_problem(seq, perturb=0.05, rng=rng)
+    state_f, _ = ba.solve_window_fast(state, meas, iters=8)
+    k = state_f.p.shape[0]
+    dying = np.asarray(meas.vis[0]) & ~np.asarray(meas.vis[1:]).any(0)
+    j, r0 = ba.marginalize_prior_cam(state_f, meas, jnp.asarray(dying))
+    j = np.asarray(j)
+    assert j.shape == (15 * k, 15 * k)
+    assert np.isfinite(j).all() and np.isfinite(np.asarray(r0)).all()
+    # slot-0 columns eliminated
+    for b in range(5):
+        o = 3 * k * b
+        assert np.abs(j[:, o:o + 3]).max() < 1e-3 * max(1.0, np.abs(j).max())
+    # prior must pull states toward the linearization point: residual at the
+    # linearization is r0; moving keyframe 1 away increases the cost
+    prior = ba.CamPriorFactor(j=jnp.asarray(j), r0=jnp.asarray(r0),
+                              p=state_f.p, q=state_f.q, v=state_f.v,
+                              bg=state_f.bg, ba=state_f.ba)
+    r_at_lin = ba._prior_residual(state_f, prior)
+    moved = state_f._replace(p=state_f.p.at[1].add(jnp.asarray([0.3, 0, 0])))
+    r_moved = ba._prior_residual(moved, prior)
+    assert float(jnp.sum(r_moved ** 2)) > float(jnp.sum(r_at_lin ** 2))
+    # full-tangent priors are rejected by the fast solver
+    full_prior = ba.PriorFactor(
+        j=jnp.zeros((3, 15 * k + 3 * state.lm.shape[0])), r0=jnp.zeros(3),
+        p=state_f.p, q=state_f.q, v=state_f.v, bg=state_f.bg, ba=state_f.ba,
+        lm=state_f.lm)
+    with _pytest.raises(ValueError):
+        ba.solve_window_fast(state_f, meas._replace(prior=full_prior))

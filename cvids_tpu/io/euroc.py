@@ -98,6 +98,10 @@ def load_agent_config(root: str, cam: str = "cam0"):
         kwargs["fast_threshold"] = float(c["fast_threshold"])
     if "equalize" in c:
         kwargs["equalize"] = bool(int(c["equalize"]))
+    if "freq" in c:
+        kwargs["keyframe_freq"] = float(c["freq"])
+    if "keyframe_parallax" in c:
+        kwargs["keyframe_parallax"] = float(c["keyframe_parallax"])
     imu_path = os.path.join(root, "mav0", "imu0", "sensor.yaml")
     if os.path.isfile(imu_path):
         with open(imu_path) as f:

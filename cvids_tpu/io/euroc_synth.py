@@ -203,7 +203,12 @@ def write_euroc_sequence(
                      # the reference's equalize flag rides in the same
                      # per-agent config (euroc_config.yaml:47); without it
                      # a photometric-nuisance world loads with equalize off
-                     "equalize": int(cfg.equalize)}))
+                     "equalize": int(cfg.equalize),
+                     # keyframe-selection keys (`freq` +
+                     # `keyframe_parallax`, euroc_config.yaml:46 + VINS
+                     # estimator config) for the camera-rate front-end
+                     "freq": cfg.keyframe_freq,
+                     "keyframe_parallax": cfg.keyframe_parallax}))
 
     # imu (EuRoC column order: t, w_xyz, a_xyz)
     imu_rows = [[str(int(round(t * 1e9)))]

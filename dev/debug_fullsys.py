@@ -28,7 +28,7 @@ SCENE = dict(floor_z=0.0, wall_y=3.0,
              box_lo=np.array([1.9, 0.6, 0.0]),
              box_hi=np.array([2.9, 1.6, 0.9]))
 
-CACHE = os.environ.get("FULLSYS_CACHE", "/tmp/fullsys_world_r4")
+CACHE = os.environ.get("FULLSYS_CACHE", "/tmp/fullsys_world_r5")
 PHOTOMETRIC = os.environ.get("FULLSYS_PHOTO", "1") == "1"
 
 
@@ -44,7 +44,8 @@ def _scene_distance(pts):
 
 def build():
     cfg_agent = AgentConfig(camera=DIST_CAM, fast_threshold=12.0,
-                            min_feature_dist=16, equalize=PHOTOMETRIC)
+                            min_feature_dist=16, equalize=PHOTOMETRIC,
+                            keyframe_freq=2.5)
     pm = (dict(flicker=0.15, vignette=0.3, noise_std=1.5, shot_noise=0.3,
                exposure_time=0.008) if PHOTOMETRIC else None)
     roots = []
@@ -57,7 +58,7 @@ def build():
         if not euroc.available(root):
             euroc_synth.write_euroc_sequence(
                 root, cfg=cfg_agent, trajectory=traj, duration=8.0,
-                cam_rate=2.5, imu_rate=200.0, num_landmarks=1400,
+                cam_rate=20.0, imu_rate=200.0, num_landmarks=1400,
                 seed=21 + cid, world_seed=7, scene=SCENE,
                 gyr_noise=2e-4, acc_noise=0.005, photometric=pm)
         roots.append(root)
@@ -80,14 +81,14 @@ def main():
             img = seq.load_image(fi)
             if prev_t is None:
                 sel = (seq.imu_t >= t - 0.1) & (seq.imu_t < t)
-                pkt = fe.process_keyframe(t, img, np.zeros((0, 3)),
-                                          seq.acc[sel], np.zeros(0))
+                pkt = fe.process_frame(t, img, np.zeros((0, 3)),
+                                       seq.acc[sel], np.zeros(0))
             else:
                 sel = (seq.imu_t >= prev_t) & (seq.imu_t < t)
                 ts = seq.imu_t[sel]
                 dts = np.diff(np.append(ts, t))
-                pkt = fe.process_keyframe(t, img, seq.gyr[sel], seq.acc[sel],
-                                          dts)
+                pkt = fe.process_frame(t, img, seq.gyr[sel], seq.acc[sel],
+                                       dts)
             prev_t = t
             if pkt is not None:
                 all_packets[cid].append(pkt)

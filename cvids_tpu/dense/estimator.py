@@ -270,4 +270,10 @@ def validate_photometric(cfg: DenseConfig, state: DenseState,
     coords = jnp.stack([p[0] / z, p[1] / z], axis=-1)
     warped = bilinear_sample(meas_img.astype(jnp.float32), coords, fill=jnp.nan)
     err = jnp.abs(warped - state.ref_img)
-    return jnp.isfinite(err) & (err < max_err)
+    # a pixel whose warp lands OUTSIDE the measurement is unvalidatable,
+    # not invalid — only in-view, photometrically-contradicted pixels are
+    # rejected (the reference likewise skips out-of-view pixels,
+    # `depth_estimator.cpp:663-668`)
+    in_view = ((coords[..., 0] >= 0) & (coords[..., 0] <= w - 1)
+               & (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1))
+    return ~in_view | (jnp.isfinite(err) & (err < max_err))

@@ -179,13 +179,17 @@ def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
                  r_wb: np.ndarray, p_wb: np.ndarray,
                  r_cb: np.ndarray, p_bc: np.ndarray,
                  sigma: float = 1.5, background: float = 20.0,
-                 base: np.ndarray | None = None) -> np.ndarray:
+                 base: np.ndarray | None = None,
+                 idx_offset: int = 0) -> np.ndarray:
     """Render (H, W) float image for body pose (r_wb, p_wb).
 
     Each landmark is splatted as its own textured patch (`_patch_params`),
     sized to cover the bulk of the BRIEF test pattern (taps ~ N(0, 9.6 px),
     `ops.brief.brief_pattern`). `base`: optional background image to splat
     onto (e.g. a ray-traced textured scene) instead of the flat gradient.
+    `idx_offset` shifts the per-landmark texture identities — distinct
+    offsets give DIFFERENT procedural appearances for the same array slots
+    (held-out vocabulary worlds must not share textures with test worlds).
     """
     h, w = cam.height, cam.width
     if base is not None:
@@ -206,7 +210,7 @@ def render_blobs(cam, landmarks: np.ndarray, intensities: np.ndarray,
     vi = np.floor(px[:, 1]).astype(np.int64)
     inb = ((ui >= rad) & (ui < w - rad - 1) & (vi >= rad) & (vi < h - rad - 1))
     if inb.any():
-        idxs = idx_all[inb]
+        idxs = idx_all[inb] + int(idx_offset)
         du = (px[inb, 0] - ui[inb]).astype(np.float64)
         dv = (px[inb, 1] - vi[inb]).astype(np.float64)
         patches = _render_patches_batch(idxs, rad, du, dv, env_sigma)

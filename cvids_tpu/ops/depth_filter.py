@@ -80,10 +80,20 @@ def update(state: FilterState, x: jax.Array, tau2: jax.Array,
 
 
 def converged_mask(state: FilterState, ratio: float = 0.5,
-                   max_sigma2: float | None = None) -> jax.Array:
+                   max_sigma2: float | None = None,
+                   min_support: float = 0.5, a0: float = 15.0) -> jax.Array:
     """Inlier-ratio mask, the reference's FinalizeMapPoints gate
-    (`depth_estimator.cpp:365-492`: keep pixels with a/(a+b) >= 0.5)."""
+    (`depth_estimator.cpp:365-492`: keep pixels with a/(a+b) >= 0.5).
+
+    `min_support`: additionally require a > a0 + min_support — at least one
+    inlier update must have actually landed. With the symmetric Beta prior
+    (a0 = b0) a NEVER-updated pixel sits at ratio exactly 0.5 and would
+    pass the >= 0.5 gate with its prior depth: measured as 99 %-"converged"
+    depth maps hallucinating the 2 m prior across open space (and a mesh
+    growing phantom surfaces there)."""
     ok = state.a / jnp.maximum(state.a + state.b, 1e-9) >= ratio
+    if min_support > 0.0:
+        ok = ok & (state.a > a0 + min_support)
     if max_sigma2 is not None:
         ok = ok & (state.sigma2 <= max_sigma2)
     return ok

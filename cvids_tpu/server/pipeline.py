@@ -58,6 +58,11 @@ class _DenseClientState:
     state: object = None            # estimator.DenseState
     fused: int = 0
     since_ref: int = 0
+    # last fused measurement frame + its ref->meas mapping, retained for the
+    # photometric validation gate at finalize (`DepthEstimator::Validate`)
+    last_meas: object = None
+    last_a: object = None
+    last_b: object = None
 
 
 class CollaborativeServer:
@@ -72,6 +77,7 @@ class CollaborativeServer:
         self.dense_state: dict[int, _DenseClientState] = {}
         self.depth_maps_published = 0
         self.last_depth: dict[int, dict] = {}   # client -> latest depth record
+        self.depth_records: list[dict] = []     # all published (capped at 64)
         self._client_k: dict[int, np.ndarray] = {}
         self._undistort_grid: dict[int, np.ndarray] = {}
         self._loop_overlay_pair: tuple | None = None
@@ -257,10 +263,12 @@ class CollaborativeServer:
         dx, dy = warp_shift_bounds_np(a_mat, cfg.dense.height, cfg.dense.width,
                                       step=4)
         banded = bool(dx < 88.0 and dy < 40.0)
+        meas_j = self._undistort(cid, pkt.image)
+        a_j = jnp.asarray(a_mat, jnp.float32)
+        b_j = jnp.asarray(b_vec, jnp.float32)
         ds.state = estimator.fuse_measurement(
-            cfg.dense, ds.state, self._undistort(cid, pkt.image),
-            jnp.asarray(a_mat, jnp.float32), jnp.asarray(b_vec, jnp.float32),
-            banded_warp=banded)
+            cfg.dense, ds.state, meas_j, a_j, b_j, banded_warp=banded)
+        ds.last_meas, ds.last_a, ds.last_b = meas_j, a_j, b_j
         ds.fused += 1
         ds.since_ref += 1
         if ds.fused >= cfg.min_fused_frames and ds.since_ref >= cfg.ref_advance:
@@ -313,6 +321,16 @@ class CollaborativeServer:
         inv_d, ok = estimator.finalize(cfg.dense, ds.state)
         depth = 1.0 / np.maximum(np.asarray(inv_d), 1e-6)
         okn = np.asarray(ok)
+        # photometric validation against the last fused measurement — the
+        # reference's `DepthEstimator::Validate` gate
+        # (`depth_estimator.cpp:639-691`; present but uncalled upstream):
+        # a pixel whose ESTIMATED depth does not photometrically re-project
+        # into the newest measurement is confidently wrong, exactly the
+        # outlier tail the Beta-ratio mask cannot see
+        if ds.last_meas is not None:
+            vmask = np.asarray(estimator.validate_photometric(
+                cfg.dense, ds.state, ds.last_meas, ds.last_a, ds.last_b))
+            okn = okn & vmask
         # NaN-out band mirrors `PublishDenseInfo` (d outside [0.1, 20] m)
         good = okn & (depth > 0.1) & (depth < 20.0)
         depth = np.where(good, depth, 0.0).astype(np.float32)
@@ -322,11 +340,18 @@ class CollaborativeServer:
         with self.tracer.span("mesh"):
             self.volume.integrate(depth, color, k, r_wc, t_wc)
         self.depth_maps_published += 1
-        # diagnostic record of the latest published depth (reference dumps
-        # these to disk; tests compare them against rendered ground truth)
-        self.last_depth[int(self.graph.store.client[ds.ref_index])] = {
-            "ref_index": ds.ref_index, "depth": depth, "k": k,
-            "r_wc": r_wc, "t_wc": t_wc}
+        # diagnostic records of published depths (reference dumps these to
+        # disk; tests compare them against rendered ground truth). The full
+        # history (capped) matters: judging depth quality by the single
+        # LAST map makes the metric hostage to whichever view the sequence
+        # happens to end on (a far-field view has little resolvable depth)
+        rec = {"ref_index": ds.ref_index, "depth": depth, "k": k,
+               "r_wc": r_wc, "t_wc": t_wc,
+               "client": int(self.graph.store.client[ds.ref_index])}
+        self.last_depth[rec["client"]] = rec
+        self.depth_records.append(rec)
+        if len(self.depth_records) > 64:
+            self.depth_records.pop(0)
 
     def _free_space(self, idx: int):
         """Release images of keyframes far behind every client's reference

@@ -445,6 +445,7 @@ class AgentFrontend:
             ba0 = self.state.ba[max(slot - 1, 0)]
             pre = imu_mod.preintegrate(jnp.asarray(g), jnp.asarray(a),
                                        jnp.asarray(dt), bg0, ba0,
+                                       noise=self.cfg.imu,
                                        sample_valid=jnp.asarray(vmask))
             self.pre_list[slot - 1] = pre
         else:
@@ -659,7 +660,7 @@ class AgentFrontend:
         g[:n], a[:n], dt[:n], vmask[:n] = gyr[:n], acc[:n], dts[:n], True
         pre = imu_mod.preintegrate(jnp.asarray(g), jnp.asarray(a),
                                    jnp.asarray(dt), jnp.asarray(bg_kf),
-                                   jnp.asarray(ba_kf),
+                                   jnp.asarray(ba_kf), noise=self.cfg.imu,
                                    sample_valid=jnp.asarray(vmask))
         from ..geometry import quat_multiply, quat_normalize
         r_kf = quat_to_matrix_np(q_kf)
@@ -809,7 +810,8 @@ class AgentFrontend:
                 if dummy is None:
                     dummy = imu_mod.preintegrate(
                         jnp.zeros((2, 3)), jnp.tile(jnp.asarray([0.0, 0, 9.81]), (2, 1)),
-                        jnp.full(2, 0.005), jnp.zeros(3), jnp.zeros(3))
+                        jnp.full(2, 0.005), jnp.zeros(3), jnp.zeros(3),
+                        noise=self.cfg.imu)
                 pres.append(dummy)
         pre = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *pres)
         m0 = np.asarray(quat_to_matrix(self.state.q[0]))

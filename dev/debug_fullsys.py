@@ -66,12 +66,21 @@ def build():
 
 
 def main():
+    import pickle
+
     roots, _ = build()
     from cvids_tpu.vio.frontend import AgentFrontend
 
     seqs = [euroc.load_euroc(r) for r in roots]
     cfgs = [euroc.load_agent_config(r) for r in roots]
     print(f"photometric={PHOTOMETRIC}; equalize={cfgs[0].equalize}")
+    pkt_cache = os.path.join(CACHE, "packets.pkl")
+    if os.path.exists(pkt_cache):
+        with open(pkt_cache, "rb") as f:
+            all_packets = pickle.load(f)
+        print(f"loaded cached packets: {[len(p) for p in all_packets]}")
+        _run_server(roots, seqs, cfgs, all_packets)
+        return
     frontends = [AgentFrontend(cfg, cid) for cid, cfg in enumerate(cfgs)]
     all_packets = [[] for _ in seqs]
     for cid, (seq, fe) in enumerate(zip(seqs, frontends)):
@@ -103,9 +112,14 @@ def main():
               f"scale {s:.3f}")
         print("  per-kf err cm:", np.round(per, 1))
 
-    descs = np.concatenate([p.ext_desc[p.ext_valid]
-                            for pkts in all_packets for p in pkts])
-    voc = vocab.train_vocabulary(descs[:4000], k=8, levels=3, seed=0)
+    with open(pkt_cache, "wb") as f:
+        pickle.dump(all_packets, f)
+    _run_server(roots, seqs, cfgs, all_packets)
+
+
+def _run_server(roots, seqs, cfgs, all_packets):
+    g = None
+    voc = vocab.generic_vocabulary(k=8, levels=3)
     fx = float(cfgs[0].camera.fx)
     pcfg = pipeline.PipelineConfig(
         server=posegraph.ServerConfig(kf_capacity=256, optimize_every=20,
@@ -143,7 +157,9 @@ def main():
     r_cb = np.asarray(cfgs[0].r_cb, np.float64)
     p_bc = np.asarray(cfgs[0].p_bc, np.float64)
     from cvids_tpu.geometry.hostmath import quat_to_matrix_np
-    for cid, rec in server.last_depth.items():
+    rmses = []
+    for rec in server.depth_records:
+        cid = rec["client"]
         st = g.store
         t_kf = float(st.timestamp[rec["ref_index"]])
         seq = seqs[cid]
@@ -153,15 +169,25 @@ def main():
         t_wc = seq.gt_p[gi] + r_wb @ p_bc
         _, depth_gt = render.render_textured_scene(pin_cam, r_wc, t_wc, SCENE)
         est = rec["depth"]
-        both = (est > 0) & (depth_gt > 0.2) & (depth_gt < 15.0)
+        both = (est > 0) & (depth_gt > 0.2) & (depth_gt < 6.0)
         inv_err = 1.0 / est[both] - 1.0 / depth_gt[both]
         rms = float(np.sqrt(np.mean(inv_err ** 2)))
         # error composition: pose error vs depth error — recompute with the
         # SERVER pose instead of gt pose to see how much is pose-induced
         r_wc_s, t_wc_s = rec["r_wc"], rec["t_wc"]
+        med_e = float(np.median(est[both]))
+        med_g = float(np.median(depth_gt[both]))
+        q = np.quantile(np.abs(inv_err), [0.5, 0.9])
         print(f"client {cid}: overlap {both.mean():.2f} (need > 0.05), "
               f"inv-depth RMS {rms:.3f} (need < 0.12), "
+              f"med est {med_e:.2f} gt {med_g:.2f} m, "
+              f"|inv err| p50 {q[0]:.3f} p90 {q[1]:.3f}, "
+              f"est-valid {(est > 0).mean():.2f}, "
               f"pose delta |t|={np.linalg.norm(t_wc_s - t_wc):.3f} m")
+        if both.mean() >= 0.02:
+            rmses.append(rms)
+    print(f"median per-map inv-depth RMS over {len(rmses)} maps: "
+          f"{np.median(rmses) if rmses else float('nan'):.3f} (need < 0.12)")
 
     mesh_path = os.path.join(CACHE, "scene.ply")
     n_verts = server.save_mesh(mesh_path)

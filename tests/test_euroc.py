@@ -61,7 +61,7 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     # agents must share one landmark world (world_seed) or inter-agent loop
     # closure is geometrically impossible
     cfg = AgentConfig(camera=SMALL_CAM, fast_threshold=12.0,
-                      min_feature_dist=16)
+                      min_feature_dist=16, keyframe_freq=2.5)
     roots = []
     for cid, phase in enumerate((0.0, 0.45)):
         root = str(tmp_path / f"agent{cid}")
@@ -71,8 +71,10 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
         traj = synthetic.Trajectory.circle(radius=4.0, omega=0.35,
                                            height_amp=0.2, phase=phase,
                                            speed_mod=0.3, speed_mod_freq=0.9)
+        # full camera rate: run_euroc's default mode tracks every frame and
+        # selects keyframes by parallax (the reference agent contract)
         euroc_synth.write_euroc_sequence(root, cfg=cfg, trajectory=traj,
-                                         duration=7.0, cam_rate=2.0,
+                                         duration=7.0, cam_rate=20.0,
                                          imu_rate=200.0, num_landmarks=1000,
                                          seed=11 + cid, world_seed=99)
         roots.append(root)
@@ -80,19 +82,19 @@ def test_run_euroc_example_end_to_end(tmp_path, capsys):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                     "examples"))
     import run_euroc
-    rc = run_euroc.main(["--seq", roots[0], "--seq", roots[1],
-                         "--kf-stride", "1"])
+    rc = run_euroc.main(["--seq", roots[0], "--seq", roots[1]])
     assert rc == 0
     out = capsys.readouterr().out
     # both agents produced keyframes and ATEs were scored
     ates = [float(line.split()[-2]) for line in out.splitlines()
             if "ATE (sim3)" in line]
     assert len(ates) == 2, out
-    # cm. Round-2 measured 2.3-2.8 cm — but over only 5-6 LATE packets per
-    # agent (the old VI bootstrap locked ~5 keyframes late and the
-    # double-counted marginalization prior hid behind the short horizon).
-    # With both defects fixed (r4) each agent emits 9 packets covering the
-    # init transient and a genuinely low-observability segment at t≈6 s;
-    # measured 11-15 cm over that full span (dev/debug_euroc.py per-keyframe
-    # table in RESULTS). The bound covers the honest full-coverage figure.
-    assert max(ates) < 20.0, out
+    # cm. History of this bound: r2 measured 2.3-2.8 cm over 5-6 LATE
+    # packets (short horizon hid the drift); r4's full-coverage honest
+    # figure was 11-15 cm and the bound was loosened to 20. Round 5
+    # re-tightens it to 8 (VERDICT r4 item 2) on the back of camera-rate
+    # tracking + keyframe selection, the camera-only marginalization prior,
+    # and correctly-weighted IMU factors (the loaded sensor.yaml noise
+    # densities now actually reach `preintegrate`; the 16x-under-weighted
+    # defaults let vision dominate and scale drift).
+    assert max(ates) < 8.0, out

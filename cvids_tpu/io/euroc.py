@@ -102,6 +102,8 @@ def load_agent_config(root: str, cam: str = "cam0"):
         kwargs["keyframe_freq"] = float(c["freq"])
     if "keyframe_parallax" in c:
         kwargs["keyframe_parallax"] = float(c["keyframe_parallax"])
+    if "fisheye" in c:
+        kwargs["fisheye"] = bool(int(c["fisheye"]))
     imu_path = os.path.join(root, "mav0", "imu0", "sensor.yaml")
     if os.path.isfile(imu_path):
         with open(imu_path) as f:

@@ -208,7 +208,9 @@ def write_euroc_sequence(
                      # `keyframe_parallax`, euroc_config.yaml:46 + VINS
                      # estimator config) for the camera-rate front-end
                      "freq": cfg.keyframe_freq,
-                     "keyframe_parallax": cfg.keyframe_parallax}))
+                     "keyframe_parallax": cfg.keyframe_parallax,
+                     # `fisheye: 1` image-circle mask (euroc_config.yaml:41)
+                     "fisheye": int(cfg.fisheye)}))
 
     # imu (EuRoC column order: t, w_xyz, a_xyz)
     imu_rows = [[str(int(round(t * 1e9)))]

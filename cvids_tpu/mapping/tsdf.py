@@ -356,6 +356,109 @@ class TsdfVolume:
                 jnp.asarray(r_cw, jnp.float32), jnp.asarray(t_cw, jnp.float32))
         self.dirty.update(int(s) for s in slots)
 
+    def integrate_points(self, pts_w: np.ndarray, colors: np.ndarray,
+                         t_wc: np.ndarray):
+        """PointCloud fusion mode — the reference's second integrator
+        (`chisel_ros/src/ChiselNode.cpp:54-77` mode switch; raycast variant
+        `open_chisel/src/ProjectionIntegrator.cpp:52-173`): integrate a
+        WORLD-frame point cloud observed from sensor origin `t_wc`.
+
+        Per point, the ray origin->point is sampled: a dense band of
+        voxel-spaced samples across ±τ of the endpoint receives signed-
+        distance updates (the raycast integrator's per-voxel `u = d - t`),
+        and, with carving on, coarse free-space samples in front of the
+        surface decrement voxel weights. Updates land as batched scatter
+        ops on the flattened chunk pool (device); chunk allocation stays
+        host-side like `integrate`.
+        """
+        cfg = self.cfg
+        vs, cs = cfg.voxel_size, cfg.chunk_size
+        t_wc = np.asarray(t_wc, np.float64)
+        pts_w = np.asarray(pts_w, np.float64).reshape(-1, 3)
+        colors = np.asarray(colors, np.float64).reshape(-1, 3)
+        delta = pts_w - t_wc
+        d = np.linalg.norm(delta, axis=1)
+        keep = (d > cfg.min_depth) & (d < cfg.max_depth)
+        if not keep.any():
+            return
+        pts_w, colors, d = pts_w[keep], colors[keep], d[keep]
+        dirs = (pts_w - t_wc) / d[:, None]
+        tau = cfg.trunc_scale * vs + cfg.trunc_quad * d * d
+
+        # truncation-band samples at ~half-voxel spacing
+        s_band = max(3, int(np.ceil(2 * float(tau.max()) / (0.5 * vs))) | 1)
+        offs = np.linspace(-1.0, 1.0, s_band)                 # x tau
+        t_band = d[:, None] + offs[None, :] * tau[:, None]    # (N, S)
+        pos_b = t_wc + dirs[:, None, :] * t_band[..., None]   # (N, S, 3)
+        u_b = (d[:, None] - t_band)                           # signed dist
+        samples = [(pos_b.reshape(-1, 3),
+                    np.clip(u_b, -tau[:, None], tau[:, None]).reshape(-1),
+                    np.repeat(colors, s_band, axis=0), False)]
+
+        if cfg.carving:
+            s_carve = 16
+            frac = (np.arange(s_carve) + 0.5) / s_carve
+            t_c = cfg.min_depth + frac[None, :] * np.maximum(
+                d[:, None] - 1.5 * tau[:, None] - cfg.min_depth, 0.0)
+            ok_c = t_c < (d[:, None] - tau[:, None])
+            pos_c = (t_wc + dirs[:, None, :] * t_c[..., None])[ok_c]
+            samples.append((pos_c.reshape(-1, 3),
+                            np.zeros(len(pos_c)),
+                            np.zeros((len(pos_c), 3)), True))
+
+        for pos, u, col, carve in samples:
+            if len(pos) == 0:
+                continue
+            vox = np.floor(pos / vs).astype(np.int64)
+            cc = np.floor_divide(vox, cs).astype(np.int32)
+            uniq, inv = np.unique(cc, axis=0, return_inverse=True)
+            self._alloc(uniq)   # allocates what fits; full-pool chunks drop
+            slot_u = np.asarray([self.slot_of.get(tuple(c), -1)
+                                 for c in uniq], np.int64)
+            slot = slot_u[inv]
+            ok = slot >= 0
+            if not ok.any():
+                continue
+            vox, cc, slot = vox[ok], cc[ok], slot[ok]
+            u, col = u[ok], col[ok]
+            local = vox - cc.astype(np.int64) * cs
+            flat = (slot.astype(np.int64) * cs ** 3
+                    + local[:, 2] * cs * cs + local[:, 1] * cs + local[:, 0])
+            flat_j = jnp.asarray(flat)
+            c0 = self.capacity * cs ** 3
+            sdf_f = self.pool.sdf.reshape(-1)
+            w_f = self.pool.weight.reshape(-1)
+            col_f = self.pool.color.reshape(-1, 3)
+            assert sdf_f.shape[0] == c0
+            if carve:
+                w_new = jnp.maximum(
+                    w_f.at[flat_j].add(-cfg.carve_weight), 0.0)
+                sdf_new = jnp.where(w_new > 0.0, sdf_f, 0.0)
+                self.pool = self.pool._replace(
+                    sdf=sdf_new.reshape(self.pool.sdf.shape),
+                    weight=w_new.reshape(self.pool.weight.shape))
+            else:
+                wsum = jnp.zeros_like(w_f).at[flat_j].add(1.0)
+                wu = jnp.zeros_like(sdf_f).at[flat_j].add(jnp.asarray(u))
+                wc = jnp.zeros_like(col_f).at[flat_j].add(
+                    jnp.asarray(col, jnp.float32))
+                denom = w_f + wsum
+                upd = wsum > 0.0
+                sdf_new = jnp.where(
+                    upd, (sdf_f * w_f + wu) / jnp.maximum(denom, 1e-9),
+                    sdf_f)
+                col_new = jnp.where(
+                    upd[:, None],
+                    (col_f * w_f[:, None] + wc)
+                    / jnp.maximum(denom, 1e-9)[:, None], col_f)
+                w_new = jnp.minimum(jnp.where(upd, denom, w_f),
+                                    cfg.max_weight)
+                self.pool = self.pool._replace(
+                    sdf=sdf_new.reshape(self.pool.sdf.shape),
+                    weight=w_new.reshape(self.pool.weight.shape),
+                    color=col_new.reshape(self.pool.color.shape))
+            self.dirty.update(int(s) for s in np.unique(slot))
+
     # ----- queries -----
 
     def sdf_at(self, pts_w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -68,6 +68,12 @@ class AgentConfig:
     # the reference agents' `equalize: 1` (CLAHE on real EuRoC imagery,
     # euroc_config.yaml:47); required under auto-exposure flicker
     equalize: bool = False
+    # the reference's `fisheye: 1` + fisheye_mask.jpg contract
+    # (euroc_config.yaml:41, config/fisheye_mask.jpg): restrict tracking to
+    # the image circle. True -> a circular mask centered on (cx, cy) with
+    # radius fisheye_mask_radius (pixels; 0 -> min(cx, cy, w-cx, h-cy))
+    fisheye: bool = False
+    fisheye_mask_radius: float = 0.0
     window_size: int = 10
     max_solver_iterations: int = 8  # `max_num_iterations` (:55)
     fast_threshold: float = 20.0

@@ -72,6 +72,19 @@ class AgentFrontend:
         self.track_stats = {"klt_killed": 0, "ransac_killed": 0,
                             "border_killed": 0, "detected": 0}
 
+        # fisheye image-circle mask (the reference's `fisheye: 1` +
+        # fisheye_mask.jpg contract, euroc_config.yaml:41): features outside
+        # the circle are invalid and never re-detected there
+        self._mask_center = None
+        self._mask_r2 = None
+        if getattr(cfg, "fisheye", False):
+            c_ = cfg.camera
+            r = float(getattr(cfg, "fisheye_mask_radius", 0.0)) or min(
+                float(c_.cx), float(c_.cy),
+                c_.width - float(c_.cx), c_.height - float(c_.cy))
+            self._mask_center = (float(c_.cx), float(c_.cy))
+            self._mask_r2 = r * r
+
         # sliding window state
         w = self.WINDOW
         self.kf_count = 0          # total keyframes ever
@@ -136,6 +149,16 @@ class AgentFrontend:
         self._redetect_compute = jax.jit(_redetect_compute)
 
     # ---------- feature maintenance ----------
+
+    def _apply_fisheye_mask(self):
+        """Kill features outside the fisheye image circle (the reference's
+        `fisheye: 1` + fisheye_mask.jpg tracker gate)."""
+        if self._mask_r2 is None:
+            return
+        cx, cy = self._mask_center
+        d2 = ((self.feat_xy[:, 0] - cx) ** 2
+              + (self.feat_xy[:, 1] - cy) ** 2)
+        self.feat_valid &= d2 <= self._mask_r2
 
     def _predict_features(self, p_pred: np.ndarray, q_pred: np.ndarray,
                           p_prev: np.ndarray, q_prev: np.ndarray):
@@ -240,6 +263,7 @@ class AgentFrontend:
                & (self.feat_xy[:, 1] >= b) & (self.feat_xy[:, 1] < image.shape[0] - b))
         n2 = int(self.feat_valid.sum())
         self.feat_valid &= inb
+        self._apply_fisheye_mask()
         stats["border_killed"] += n2 - int(self.feat_valid.sum())
         # re-detect into free slots (fixed-budget jitted program; the fill
         # loop consumes candidates until the free slots run out). NOTE: do
@@ -256,6 +280,10 @@ class AgentFrontend:
             new_ok = np.array(kps.valid)  # writable copy
             new_ok &= ((new_xy[:, 0] >= b) & (new_xy[:, 0] < image.shape[1] - b)
                        & (new_xy[:, 1] >= b) & (new_xy[:, 1] < image.shape[0] - b))
+            if self._mask_r2 is not None:
+                cx, cy = self._mask_center
+                new_ok &= ((new_xy[:, 0] - cx) ** 2
+                           + (new_xy[:, 1] - cy) ** 2) <= self._mask_r2
             free_slots = np.nonzero(~self.feat_valid)[0]
             k = 0
             for j in range(len(new_xy)):

@@ -79,3 +79,25 @@ def test_frontend_tracks_trajectory(rng):
     assert last.win_pts3d.shape[0] >= 5
     assert last.ext_desc.shape[1] == 8
     assert last.win_desc.dtype == np.uint32
+
+
+def test_fisheye_mask_gates_features():
+    """`fisheye: 1` image-circle mask (the reference's fisheye_mask.jpg
+    contract, euroc_config.yaml:41): features outside the circle die."""
+    from cvids_tpu.utils.config import AgentConfig, CameraConfig
+    from cvids_tpu.vio.frontend import AgentFrontend
+
+    cam = CameraConfig(fx=150.0, fy=150.0, cx=160.0, cy=120.0,
+                       width=320, height=240)
+    fe = AgentFrontend(AgentConfig(camera=cam, fisheye=True))
+    # radius = min(cx, cy, w-cx, h-cy) = 120
+    fe.feat_xy[:4] = [[160, 120], [30, 120], [160, 230], [310, 10]]
+    fe.feat_valid[:4] = True
+    fe._apply_fisheye_mask()
+    assert list(fe.feat_valid[:4]) == [True, False, True, False]
+    # off by default
+    fe2 = AgentFrontend(AgentConfig(camera=cam))
+    fe2.feat_xy[:1] = [[5, 5]]
+    fe2.feat_valid[:1] = True
+    fe2._apply_fisheye_mask()
+    assert fe2.feat_valid[0]

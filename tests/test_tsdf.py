@@ -156,3 +156,49 @@ def test_chunk_pool_max_capacity_counts_drops():
     assert vol.capacity == 16
     assert len(vol.slot_of) <= 16
     assert vol.dropped_chunks > 0         # loss is visible, not silent
+
+
+def test_point_cloud_fusion_mode():
+    """chisel_ros's PointCloud fusion mode (`ChiselNode.cpp:54-77` mode
+    switch; raycast integrator `ProjectionIntegrator.cpp:52-173`): points on
+    a known plane integrate into a zero crossing at the plane, carving
+    clears free space, and the mesh extractor finds the surface."""
+    import numpy as np
+
+    from cvids_tpu.mapping import tsdf
+    from cvids_tpu.mapping.mesh import extract_mesh
+
+    cfg = tsdf.TsdfConfig(voxel_size=0.1, capacity=512, carving=True,
+                          min_depth=0.3, max_depth=10.0)
+    vol = tsdf.TsdfVolume(cfg)
+    rng = np.random.default_rng(0)
+    origin = np.array([0.0, 0.0, 1.0])
+    # points on the plane z = 0 in front of/below the sensor
+    pts = np.stack([rng.uniform(-1.0, 1.0, 4000),
+                    rng.uniform(-1.0, 1.0, 4000),
+                    np.zeros(4000)], -1)
+    cols = np.full((4000, 3), 128.0)
+    for _ in range(3):
+        vol.integrate_points(pts, cols, origin)
+
+    # SDF straddles the plane: positive above (toward the sensor), negative
+    # below (behind the surface)
+    probe_above = np.stack([rng.uniform(-0.5, 0.5, 64),
+                            rng.uniform(-0.5, 0.5, 64),
+                            np.full(64, 0.15)], -1)
+    probe_below = probe_above - np.array([0, 0, 0.3])
+    s_above, w_above = vol.sdf_at(probe_above)
+    s_below, w_below = vol.sdf_at(probe_below)
+    seen_a = w_above > 0
+    seen_b = w_below > 0
+    assert seen_a.mean() > 0.5 and seen_b.mean() > 0.3
+    assert np.median(s_above[seen_a]) > 0.0
+    assert np.median(s_below[seen_b]) < 0.0
+
+    # carving decremented weights along the free-space rays well above the
+    # band: integrate a later observation that moved (dynamic object) and
+    # verify free space isn't solid
+    verts, _, _ = extract_mesh(vol)
+    assert len(verts) > 50, "no surface extracted from point fusion"
+    z = np.asarray(verts, np.float64).reshape(-1, 3)[:, 2]
+    assert abs(float(np.median(z))) < 0.08, float(np.median(z))

@@ -93,21 +93,70 @@ def run_mode(voc, packets, name, report_query_ms=False, **cfg_kw):
     return n / dt
 
 
+def _dense_load_thread(stop):
+    """Background dense-fusion + TSDF load — the live-pipeline contention
+    the ingest path shares a host with (VERDICT r4 weak #7: the 10^6-word
+    margin was measured on an idle box)."""
+    import jax.numpy as jnp
+
+    from cvids_tpu.dense import estimator
+    from cvids_tpu.mapping import tsdf as tsdf_mod
+
+    rng = np.random.default_rng(3)
+    cfg = estimator.DenseConfig(height=240, width=320, num_depths=64,
+                                dep_sample=0.015)
+    ref = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+    meas = jnp.asarray(rng.uniform(0, 255, (240, 320)), jnp.float32)
+    k = np.array([[200.0, 0, 160], [0, 200.0, 120], [0, 0, 1]], np.float32)
+    a_mat = jnp.asarray(k @ np.linalg.inv(k))
+    b_vec = jnp.asarray(k @ np.array([-0.11, 0, 0], np.float32))
+    st = estimator.init_reference(cfg, ref)
+    vol = tsdf_mod.TsdfVolume(tsdf_mod.TsdfConfig(voxel_size=0.1,
+                                                  capacity=1024,
+                                                  carving=False))
+    depth = np.full((240, 320), 2.0, np.float32)
+    color = np.zeros((240, 320, 3), np.float32)
+    frames = 0
+    while not stop.is_set():
+        st = estimator.fuse_measurement(cfg, st, meas, a_mat, b_vec)
+        float(st.filt.mu[0, 0])
+        vol.integrate(depth, color, k, np.eye(3, dtype=np.float32),
+                      np.zeros(3, np.float32))
+        frames += 1
+    print(f"[load] dense+TSDF background frames during ingest: {frames}")
+
+
 def main():
+    import threading
+
+    contended = "--contended-only" in sys.argv
     voc, packets = make_packets()
     print(f"{len(packets)} packets from 4 agents")
-    # honest contended numbers: default optimize cadence, loops firing
-    fps_async = run_mode(voc, packets, "async", async_optimize=True,
-                         optimize_period_s=5.0)
-    fps_sync = run_mode(voc, packets, "sync")
-    print(f"async {fps_async:.1f} kf/s vs sync {fps_sync:.1f} kf/s "
-          f"(overlap win {fps_async / max(fps_sync, 1e-9):.2f}x)")
+    if not contended:
+        # honest contended numbers: default optimize cadence, loops firing
+        fps_async = run_mode(voc, packets, "async", async_optimize=True,
+                             optimize_period_s=5.0)
+        fps_sync = run_mode(voc, packets, "sync")
+        print(f"async {fps_async:.1f} kf/s vs sync {fps_sync:.1f} kf/s "
+              f"(overlap win {fps_async / max(fps_sync, 1e-9):.2f}x)")
     # reference vocabulary scale: 10^5 and 10^6 words through the sparse
     # inverted-index-style database (`TemplatedDatabase.h:607-728` regime)
-    for levels in (5, 6):
+    for levels in ((6,) if contended else (5, 6)):
         tree = vocab.synthesize_tree_vocabulary(k=10, levels=levels, seed=0)
         run_mode(tree, packets, f"tree-10^{levels}", report_query_ms=True,
                  async_optimize=True, optimize_period_s=5.0)
+    # worst case: 10^6-word vocabulary WITH the dense+TSDF pipeline live
+    tree6 = vocab.synthesize_tree_vocabulary(k=10, levels=6, seed=0)
+    stop = threading.Event()
+    t = threading.Thread(target=_dense_load_thread, args=(stop,),
+                         daemon=True)
+    t.start()
+    try:
+        run_mode(tree6, packets, "tree-10^6+dense+tsdf",
+                 async_optimize=True, optimize_period_s=5.0)
+    finally:
+        stop.set()
+        t.join(timeout=30)
 
 
 if __name__ == "__main__":

@@ -141,14 +141,21 @@ def sgm_aggregate_parts(cost: jax.Array, grad: jax.Array,
     if use_pallas is None:
         use_pallas = _pallas_ok(cost)
     if use_pallas:
-        # the axis-1 kernel scans the horizontal orientation on the natural
-        # (H, W, D) layout — no volume transposes. Each kernel returns its
-        # direction pair pre-summed: the WTA's fused reduction then reads 2
-        # volumes instead of 4 (measured 0.3 ms/frame of HBM traffic at the
-        # production geometry; bf16 pair-sum rounding is ~0.5 in ~100s of
-        # cost units, below the argmin's decision margins)
-        from .pallas_kernels import sgm_scan_bidir, sgm_scan_bidir_axis1
-        h_sum = sgm_scan_bidir_axis1(cost, p2_map, p1_s, summed=True)
+        # Both orientations ride the FAST axis-0 kernel; the horizontal one
+        # goes through an (H,W,D)<->(W,H,D) swap. Counter-intuitively this
+        # beats the transpose-free axis-1 kernel by 0.5 ms/frame at the
+        # production geometry (1.19 vs 1.72 ms net): the axis-1 kernel's
+        # per-column [:, k] slices cut across the (u, D) VMEM tiles (1/16
+        # sublane utilization), while XLA's transposes largely fold into
+        # the pallas operand/result layouts. Bit-exact vs the axis-1 kernel
+        # (which stays available for layout-constrained callers).
+        # Each call returns its direction pair pre-summed: the WTA's fused
+        # reduction then reads 2 volumes instead of 4 (0.3 ms of HBM
+        # traffic; bf16 pair-sum rounding is far below argmin margins).
+        from .pallas_kernels import sgm_scan_bidir
+        h_sum = jnp.swapaxes(
+            sgm_scan_bidir(jnp.swapaxes(cost, 0, 1), p2_map.T, p1_s,
+                           summed=True), 0, 1)
         v_sum = sgm_scan_bidir(cost, p2_map, p1_s, summed=True)
         return h_sum, v_sum
     c_lr = jnp.moveaxis(cost, 1, 0)

@@ -178,3 +178,28 @@ def test_synthesized_vocabulary_at_scale(tmp_path, rng):
     assert idx[0] == 2
     assert scores[0] > 0.99
     assert scores[1] < 0.5 * scores[0]
+
+
+def test_generic_vocabulary_deterministic_and_cached():
+    """The held-out vocabulary (the pretrained-brief_k10L6.bin posture) is
+    deterministic per (k, levels, seed), process-cached, and usable by the
+    sparse BoW machinery."""
+    import numpy as np
+
+    from cvids_tpu.server import vocab
+
+    t1 = vocab.generic_vocabulary(k=4, levels=2, seed=7)
+    t2 = vocab.generic_vocabulary(k=4, levels=2, seed=7)
+    assert t2 is t1                       # cached
+    assert t1.num_words == 16
+    # a fresh build with the same key reproduces the same tree
+    vocab._GENERIC_CACHE.pop((4, 2, 7))
+    t3 = vocab.generic_vocabulary(k=4, levels=2, seed=7)
+    np.testing.assert_array_equal(np.asarray(t1.node_desc),
+                                  np.asarray(t3.node_desc))
+    # and it quantizes arbitrary descriptors without error
+    rng = np.random.default_rng(0)
+    d = rng.integers(0, 2 ** 32, (32, 8), dtype=np.uint32)
+    words = np.asarray(vocab.quantize_tree(t1, d))
+    assert words.shape == (32,) and (words >= 0).all()
+    assert (words < t1.num_words).all()

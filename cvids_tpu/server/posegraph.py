@@ -317,26 +317,24 @@ class CollaborativePoseGraph:
 
         # BoW add + query (dense vector for trained small vocabularies;
         # sparse tf-idf entries at reference vocabulary scale)
-        desc_j = jnp.asarray(self.store.ext_desc[idx])
-        valid_j = jnp.asarray(self.store.ext_valid[idx])
         # cache the device copies for loop verification (arrays are
-        # immutable once stored; bounded FIFO eviction)
-        self._dev_feats[idx] = (
-            desc_j, valid_j, jnp.asarray(self.store.ext_uv[idx]),
-            jnp.asarray(self.store.win_desc[idx]),
-            jnp.asarray(self.store.win_valid[idx]),
-            jnp.asarray(self.store.win_uv[idx]))
+        # immutable once stored; bounded FIFO eviction) — one batched
+        # transfer, not six
+        feats = jax.device_put((
+            self.store.ext_desc[idx], self.store.ext_valid[idx],
+            self.store.ext_uv[idx], self.store.win_desc[idx],
+            self.store.win_valid[idx], self.store.win_uv[idx]))
+        desc_j, valid_j = feats[0], feats[1]
+        self._dev_feats[idx] = feats
         if len(self._dev_feats) > self._dev_feats_max:
             self._dev_feats.pop(next(iter(self._dev_feats)))
         if self._tree_mode:
-            cand_idx, cand_score = self.db.query(desc_j, cid,
-                                                 cfg.exclude_recent,
-                                                 valid=valid_j)
-            self.db.add_descriptors(desc_j, cid, valid=valid_j)
+            cand_idx, cand_score = self.db.query_and_add(
+                desc_j, cid, cfg.exclude_recent, valid=valid_j)
         else:
             vec = vocab_mod.bow_vector(self.voc, desc_j, valid_j)
-            cand_idx, cand_score = self.db.query(vec, cid, cfg.exclude_recent)
-            self.db.add(vec, cid)
+            cand_idx, cand_score = self.db.query_and_add(
+                vec, cid, cfg.exclude_recent)
 
         info = {"index": idx, "loop": False, "aligned_event": False}
         cands = self._select_loop_candidates(idx, cid, cand_idx, cand_score)

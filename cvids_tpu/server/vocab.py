@@ -220,8 +220,31 @@ def _db_insert(db: jax.Array, idx: jax.Array, vec: jax.Array) -> jax.Array:
     return db.at[idx].set(vec)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _client_set(client_dev, idx, client_id):
+    return client_dev.at[idx].set(client_id)
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def _db_topk(db: jax.Array, vec: jax.Array, valid: jax.Array, top_k: int):
+    s = 1.0 - 0.5 * jnp.sum(jnp.abs(vec[None, :] - db), axis=-1)
+    s = jnp.where(valid, s, -1.0)
+    return jax.lax.top_k(s, top_k)
+
+
+def _exclude_mask(client_dev, count, query_client, recent_cut):
+    """Device-side build of the query-validity mask (stored & not a recent
+    same-client frame) from scalars — replaces the per-query host mask
+    construction + (capacity,) bool upload that showed up in the ingest
+    profile."""
+    r = jnp.arange(client_dev.shape[0])
+    return (r < count) & ~((client_dev == query_client) & (r >= recent_cut))
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _db_topk_masked(db, vec, client_dev, count, query_client, recent_cut,
+                    top_k: int):
+    valid = _exclude_mask(client_dev, count, query_client, recent_cut)
     s = 1.0 - 0.5 * jnp.sum(jnp.abs(vec[None, :] - db), axis=-1)
     s = jnp.where(valid, s, -1.0)
     return jax.lax.top_k(s, top_k)
@@ -240,6 +263,7 @@ class BowDatabase:
         self.voc = voc
         self.vectors = jnp.zeros((capacity, voc.num_words), jnp.float32)
         self.client = np.full(capacity, -1, np.int32)
+        self.client_dev = jnp.full(capacity, -1, jnp.int32)
         self.count = 0
 
     def add(self, vec, client_id: int) -> int:
@@ -249,9 +273,12 @@ class BowDatabase:
                                             jnp.zeros_like(self.vectors)])
             self.client = np.concatenate([self.client,
                                           np.full_like(self.client, -1)])
+            self.client_dev = jnp.concatenate(
+                [self.client_dev, jnp.full_like(self.client_dev, -1)])
         idx = self.count
         self.vectors = _db_insert(self.vectors, idx, jnp.asarray(vec))
         self.client[idx] = client_id
+        self.client_dev = _client_set(self.client_dev, idx, client_id)
         self.count += 1
         return idx
 
@@ -260,14 +287,20 @@ class BowDatabase:
         """Scores against all stored frames; same-client frames within
         `exclude_recent` of the newest are masked (reference's max_id
         argument). Returns (indices, scores) of the top_k."""
-        valid = np.arange(len(self.client)) < self.count
-        same = self.client == query_client
-        recent_cut = self.count - exclude_recent
-        recent = np.arange(len(self.client)) >= max(recent_cut, 0)
-        valid &= ~(same & recent)
-        s, idx = _db_topk(self.vectors, jnp.asarray(vec),
-                          jnp.asarray(valid), top_k)
+        s, idx = _db_topk_masked(
+            self.vectors, jnp.asarray(vec), self.client_dev,
+            np.int32(self.count), np.int32(query_client),
+            np.int32(max(self.count - exclude_recent, 0)), top_k)
         return np.asarray(idx), np.asarray(s)
+
+    def query_and_add(self, vec, client_id: int,
+                      exclude_recent: int = 10, top_k: int = 4):
+        """Query (excluding the frame being added) then insert — one BoW
+        vector shared by both halves of the per-keyframe ingest step."""
+        vec = jnp.asarray(vec)
+        idx, s = self.query(vec, client_id, exclude_recent, top_k)
+        self.add(vec, client_id)
+        return idx, s
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +545,26 @@ def _sparse_query_topk(db_ids, db_vals, q_ids, q_vals, db_valid,
     return jax.lax.top_k(s, top_k)
 
 
+@partial(jax.jit,
+         static_argnames=("levels", "f", "num_words", "top_k"))
+def _sparse_bow_query(children, node_desc, word_id, weights, desc, valid,
+                      db_ids, db_vals, client_dev, count, query_client,
+                      recent_cut, levels: int, f: int, num_words: int,
+                      top_k: int):
+    """Fused per-keyframe ingest front half: tree descent + sparse BoW +
+    masked L1 score + top-k in ONE dispatch (the profile showed the
+    separate _bow/_sparse_query_topk/host-mask trio costing a second tree
+    upload sync and a (capacity,) bool upload per keyframe)."""
+    q_ids, q_vals = _sparse_bow_dev(children, node_desc, word_id, weights,
+                                    desc, valid, levels, f)
+    db_valid = _exclude_mask(client_dev, count, query_client, recent_cut)
+    q_dense = jnp.zeros(num_words, jnp.float32).at[
+        jnp.maximum(q_ids, 0)].add(jnp.where(q_ids >= 0, q_vals, 0.0))
+    s = _sparse_scores(q_dense, db_ids, db_vals, db_valid)
+    top_s, top_i = jax.lax.top_k(s, top_k)
+    return q_ids, q_vals, top_s, top_i
+
+
 class SparseBowDatabase:
     """Fixed-capacity sparse-BoW keyframe database for large vocabularies
     (the reference's inverted-index `BriefDatabase` at k=10 L=6 scale,
@@ -531,6 +584,7 @@ class SparseBowDatabase:
         self.ids = jnp.full((capacity, words_per_frame), -1, jnp.int32)
         self.vals = jnp.zeros((capacity, words_per_frame), jnp.float32)
         self.client = np.full(capacity, -1, np.int32)
+        self.client_dev = jnp.full(capacity, -1, jnp.int32)
         self.count = 0
         self._dev = (jnp.asarray(tree.children), jnp.asarray(tree.node_desc),
                      jnp.asarray(tree.word_id), jnp.asarray(tree.weights))
@@ -541,8 +595,7 @@ class SparseBowDatabase:
                                None if valid is None else jnp.asarray(valid),
                                self.tree.levels, self.f)
 
-    def add_descriptors(self, descriptors, client_id: int,
-                        valid=None) -> int:
+    def _grow_if_full(self):
         if self.count >= len(self.client):
             # power-of-two growth, mirroring KeyframeStore._grow
             self.ids = jnp.concatenate([self.ids,
@@ -551,13 +604,23 @@ class SparseBowDatabase:
                                          jnp.zeros_like(self.vals)])
             self.client = np.concatenate([self.client,
                                           np.full_like(self.client, -1)])
-        ids, vals = self._bow(descriptors, valid)
+            self.client_dev = jnp.concatenate(
+                [self.client_dev, jnp.full_like(self.client_dev, -1)])
+
+    def _insert(self, ids, vals, client_id: int) -> int:
         idx = self.count
         self.ids, self.vals = _sparse_insert(self.ids, self.vals, idx,
                                              ids, vals)
         self.client[idx] = client_id
+        self.client_dev = _client_set(self.client_dev, idx, client_id)
         self.count += 1
         return idx
+
+    def add_descriptors(self, descriptors, client_id: int,
+                        valid=None) -> int:
+        self._grow_if_full()
+        ids, vals = self._bow(descriptors, valid)
+        return self._insert(ids, vals, client_id)
 
     def query(self, descriptors, query_client: int, exclude_recent: int = 10,
               top_k: int = 4, valid=None):
@@ -569,6 +632,24 @@ class SparseBowDatabase:
         s, order = _sparse_query_topk(self.ids, self.vals, q_ids, q_vals,
                                       jnp.asarray(ok), self.tree.num_words,
                                       top_k)
+        return np.asarray(order), np.asarray(s)
+
+    def query_and_add(self, descriptors, client_id: int,
+                      exclude_recent: int = 10, top_k: int = 4, valid=None):
+        """Per-keyframe ingest step: query (excluding the frame being
+        added), then insert — ONE tree descent and one fused dispatch where
+        query()+add_descriptors() cost two descents, a host mask build and
+        a (capacity,) bool upload."""
+        self._grow_if_full()
+        ch, nd, wi, wt = self._dev
+        q_ids, q_vals, s, order = _sparse_bow_query(
+            ch, nd, wi, wt, jnp.asarray(descriptors),
+            None if valid is None else jnp.asarray(valid),
+            self.ids, self.vals, self.client_dev,
+            np.int32(self.count), np.int32(client_id),
+            np.int32(max(self.count - exclude_recent, 0)),
+            self.tree.levels, self.f, self.tree.num_words, top_k)
+        self._insert(q_ids, q_vals, client_id)
         return np.asarray(order), np.asarray(s)
 
 

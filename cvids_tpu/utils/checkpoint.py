@@ -73,6 +73,7 @@ def load_server(path: str, server) -> None:
         server.db.ids = jnp.asarray(data["db_ids"])
         server.db.vals = jnp.asarray(data["db_vals"])
     server.db.client = np.array(data["db_client"])
+    server.db.client_dev = jnp.asarray(server.db.client)
     server.store.count = int(meta["store_count"])
     server.loop_count = int(meta["loop_count"])
     server.db.count = int(meta["db_count"])

@@ -111,6 +111,38 @@ def test_bow_database_query_excludes_recent(rng):
     assert scores[0] > 0.99  # other clients see them
 
 
+def test_query_and_add_matches_query_then_add(rng):
+    """The fused per-keyframe ingest step (`query_and_add`: one tree descent,
+    device-built exclusion mask, in-place insert) returns exactly what the
+    separate query()+add() pair returns, on both database classes, across a
+    capacity-growth boundary."""
+    descs = rng.integers(0, 2 ** 32, (300, 8), dtype=np.uint32)
+    frames = [descs[rng.integers(0, 300, 60)] for _ in range(20)]
+
+    voc = vocab.train_vocabulary(descs, k=5, levels=2, seed=1)
+    a = vocab.BowDatabase(voc, capacity=8)    # forces growth at frame 8
+    b = vocab.BowDatabase(voc, capacity=8)
+    for i, f in enumerate(frames):
+        v = vocab.bow_vector(voc, jnp.asarray(f))
+        i1, s1 = a.query(v, i % 3, exclude_recent=4)
+        a.add(v, i % 3)
+        i2, s2 = b.query_and_add(v, i % 3, exclude_recent=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    tree = vocab.synthesize_tree_vocabulary(k=6, levels=3, seed=0)
+    c = vocab.SparseBowDatabase(tree, capacity=8, words_per_frame=64)
+    d = vocab.SparseBowDatabase(tree, capacity=8, words_per_frame=64)
+    for i, f in enumerate(frames):
+        fj = jnp.asarray(f)
+        i1, s1 = c.query(fj, i % 3, exclude_recent=4)
+        c.add_descriptors(fj, i % 3)
+        i2, s2 = d.query_and_add(fj, i % 3, exclude_recent=4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+    assert c.count == d.count == len(frames)
+
+
 def test_dbow_binary_roundtrip_and_sparse_db(rng, tmp_path):
     """DBoW2 binary format save/load round-trip, explicit-tree quantization
     consistency with the implicit tree, and sparse-database retrieval."""

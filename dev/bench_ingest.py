@@ -93,10 +93,13 @@ def run_mode(voc, packets, name, report_query_ms=False, **cfg_kw):
     return n / dt
 
 
-def _dense_load_thread(stop):
-    """Background dense-fusion + TSDF load — the live-pipeline contention
-    the ingest path shares a host with (VERDICT r4 weak #7: the 10^6-word
-    margin was measured on an idle box)."""
+def _make_dense_load():
+    """Build (and compile) the background dense-fusion + TSDF load — the
+    live-pipeline contention the ingest path shares a host with (VERDICT r4
+    weak #7: the 10^6-word margin was measured on an idle box). The first
+    fuse+integrate runs HERE, before ingest timing starts, so the thread
+    contends with steady-state dense compute rather than one long XLA
+    compile."""
     import jax.numpy as jnp
 
     from cvids_tpu.dense import estimator
@@ -110,18 +113,28 @@ def _dense_load_thread(stop):
     k = np.array([[200.0, 0, 160], [0, 200.0, 120], [0, 0, 1]], np.float32)
     a_mat = jnp.asarray(k @ np.linalg.inv(k))
     b_vec = jnp.asarray(k @ np.array([-0.11, 0, 0], np.float32))
-    st = estimator.init_reference(cfg, ref)
+    st0 = estimator.init_reference(cfg, ref)
     vol = tsdf_mod.TsdfVolume(tsdf_mod.TsdfConfig(voxel_size=0.1,
                                                   capacity=1024,
                                                   carving=False))
     depth = np.full((240, 320), 2.0, np.float32)
     color = np.zeros((240, 320, 3), np.float32)
-    frames = 0
-    while not stop.is_set():
+
+    def step(st):
         st = estimator.fuse_measurement(cfg, st, meas, a_mat, b_vec)
         float(st.filt.mu[0, 0])
         vol.integrate(depth, color, k, np.eye(3, dtype=np.float32),
                       np.zeros(3, np.float32))
+        return st
+
+    st0 = step(st0)  # compile both programs up front
+    return step, st0
+
+
+def _dense_load_thread(stop, step, st):
+    frames = 0
+    while not stop.is_set():
+        st = step(st)
         frames += 1
     print(f"[load] dense+TSDF background frames during ingest: {frames}")
 
@@ -147,8 +160,9 @@ def main():
                  async_optimize=True, optimize_period_s=5.0)
     # worst case: 10^6-word vocabulary WITH the dense+TSDF pipeline live
     tree6 = vocab.synthesize_tree_vocabulary(k=10, levels=6, seed=0)
+    step, st = _make_dense_load()
     stop = threading.Event()
-    t = threading.Thread(target=_dense_load_thread, args=(stop,),
+    t = threading.Thread(target=_dense_load_thread, args=(stop, step, st),
                          daemon=True)
     t.start()
     try:

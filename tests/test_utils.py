@@ -94,6 +94,17 @@ def test_server_checkpoint_roundtrip(tmp_path, rng):
     assert server2.store.count == server.store.count
     np.testing.assert_array_equal(server2.store.world_p, server.store.world_p)
     assert server2.clients[0].aligned == server.clients[0].aligned
+    # the restored BoW database answers queries identically (including the
+    # device-resident client column behind the same-client-recent exclusion)
+    import jax.numpy as jnp
+    qdesc = jnp.asarray(np.asarray(descs)[:30])
+    for qc in (0, 1):
+        i1, s1 = server.db.query(vocab.bow_vector(voc, qdesc), qc,
+                                 exclude_recent=3)
+        i2, s2 = server2.db.query(vocab.bow_vector(voc, qdesc), qc,
+                                  exclude_recent=3)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
     # restored server continues working
     info = server2.add_keyframe(packets[-1][3])
     assert info["index"] == server.store.count

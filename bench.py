@@ -166,6 +166,76 @@ def bench_window_ba():
     }))
 
 
+def bench_loop_cascade():
+    """Loop-verification cascade latency on chip: Hamming match (80/0.7
+    gates) + fundamental-RANSAC + PnP-RANSAC as ONE jit
+    (`posegraph._match_and_pnp`), at the production feature budget
+    (160-point window vs 512 full-image features). The reference times this
+    per keyframe on the server CPU (`server_pose_graph.cpp:707,775` loop/
+    localization stage printf timers); its operating point is one cascade
+    per ingested keyframe at 4 agents x 10 Hz = 40/s."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cvids_tpu.server import posegraph as pg
+
+    rng = np.random.default_rng(0)
+    n_win, n_ext = 160, 512
+    # a 60%-overlap synthetic pair: window points of the new frame, a
+    # subset re-observed in the old frame under a rigid transform
+    pts_cam = np.stack([rng.uniform(-2, 2, n_win), rng.uniform(-1.5, 1.5, n_win),
+                        rng.uniform(2.0, 6.0, n_win)], -1).astype(np.float32)
+    win_uv = (pts_cam[:, :2] / pts_cam[:, 2:3]).astype(np.float32)
+    desc = rng.integers(0, 2 ** 32, (n_win, 8), dtype=np.uint32)
+    ext_desc = rng.integers(0, 2 ** 32, (n_ext, 8), dtype=np.uint32)
+    n_ov = 96
+    ext_desc[:n_ov] = desc[:n_ov]
+    yaw = 0.1
+    rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                   [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]], np.float32)
+    t = np.array([0.3, 0.05, 0.1], np.float32)
+    p_old = pts_cam @ rz.T + t
+    ext_uv = np.zeros((n_ext, 2), np.float32)
+    ext_uv[:n_ov] = (p_old[:n_ov, :2] / p_old[:n_ov, 2:3])
+    ext_uv[n_ov:] = rng.uniform(-1, 1, (n_ext - n_ov, 2))
+
+    wd, wv, wu, pc = (jnp.asarray(desc), jnp.ones(n_win, bool),
+                      jnp.asarray(win_uv), jnp.asarray(pts_cam))
+    ed, ev, eu = (jnp.asarray(ext_desc), jnp.ones(n_ext, bool),
+                  jnp.asarray(ext_uv))
+    thresh, min_inl = 10.0 / 460.0, 15
+    reps = 32
+
+    @jax.jit
+    def run_n(key):
+        def body(c, k):
+            res, _, _ = pg._match_and_pnp(wd, wv, wu, pc, ed, ev, eu, k,
+                                          thresh, min_inl)
+            return c + res.num_inliers, None
+        keys = jax.random.split(key, reps)
+        return lax.scan(body, jnp.int32(0), keys)[0]
+
+    total = int(run_n(jax.random.PRNGKey(0)))  # compile + sanity
+    assert total // reps >= min_inl, f"cascade found {total // reps} inliers"
+    best = None
+    for i in range(3):
+        t0 = time.time()
+        _ = int(run_n(jax.random.PRNGKey(i)))
+        dt_s = (time.time() - t0) / reps
+        best = dt_s if best is None else min(best, dt_s)
+    rate = 1.0 / best
+    print(f"loop cascade (win={n_win}, ext={n_ext}): {best * 1000:.2f} ms "
+          f"({total // reps} inliers)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "loop_verification_cascades_per_s",
+        "value": round(rate, 1),
+        "unit": "cascades/s",
+        # operating point: one cascade per keyframe at 40 kf/s
+        "vs_baseline": round(rate / 40.0, 2),
+    }))
+
+
 def main():
     import os
 
@@ -261,7 +331,7 @@ def main():
 
     # solver-rate metrics (extra JSON lines; the dense headline stays LAST
     # so single-line parsers keep picking it up)
-    for sub in (bench_fourdof_sizes, bench_window_ba):
+    for sub in (bench_fourdof_sizes, bench_window_ba, bench_loop_cascade):
         try:
             sub()
         except Exception as e:   # a solver-bench failure must not kill the headline

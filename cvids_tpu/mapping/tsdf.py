@@ -228,7 +228,10 @@ class TsdfVolume:
         h, w = depth.shape
         step = 4  # subsample: every 4th pixel names its chunk neighborhood
         vs, cs = cfg.voxel_size, cfg.chunk_size
-        dd = depth[::step, ::step]
+        # host copy of ONLY the subsample: for a device-resident depth map
+        # (the dense estimator produces it on-chip) this downloads ~75 kB,
+        # not the full image; for a numpy depth it is a free view
+        dd = np.asarray(depth[::step, ::step], np.float32)
         uu, vv = np.meshgrid(np.arange(0, w, step), np.arange(0, h, step))
         ok = (dd > cfg.min_depth) & (dd < cfg.max_depth)
         if not ok.any():
@@ -254,7 +257,7 @@ class TsdfVolume:
             # points at 640x480/20 m instead of the O(600k) the full-res
             # march cost (VERDICT r3 weak #8)
             cstep = 4 * step
-            ddc = depth[::cstep, ::cstep]
+            ddc = dd[::4, ::4]   # == depth[::cstep, ::cstep], host-side
             uuc, vvc = np.meshgrid(np.arange(0, w, cstep),
                                    np.arange(0, h, cstep))
             okc = (ddc > cfg.min_depth) & (ddc < cfg.max_depth)
@@ -330,7 +333,12 @@ class TsdfVolume:
     def integrate(self, depth: np.ndarray, color: np.ndarray,
                   k: np.ndarray, r_wc: np.ndarray, t_wc: np.ndarray):
         """Integrate a depth (+color) frame with camera->world pose
-        (`Chisel::IntegrateDepthScanColor`)."""
+        (`Chisel::IntegrateDepthScanColor`).
+
+        `depth`/`color` may be numpy OR device-resident jax arrays — the
+        dense estimator produces the depth on-chip, and passing it directly
+        avoids a full-image host round-trip (only a 4x-subsampled depth is
+        pulled to the host for the chunk walk)."""
         coords = self._touched_chunks(depth, k, r_wc, t_wc)
         slots = self._alloc(coords)
         if len(slots) == 0:
@@ -343,6 +351,14 @@ class TsdfVolume:
             m *= 2
         r_cw = r_wc.T
         t_cw = -r_wc.T @ t_wc
+        # per-frame operands cross the host boundary ONCE, not once per
+        # chunk batch (a >64-chunk frame was re-uploading the full depth +
+        # color images for every batch)
+        depth_j = jnp.asarray(depth, jnp.float32)
+        color_j = jnp.asarray(color, jnp.float32)
+        k_j = jnp.asarray(k, jnp.float32)
+        r_j = jnp.asarray(r_cw, jnp.float32)
+        t_j = jnp.asarray(t_cw, jnp.float32)
         for start in range(0, len(slots), m):
             batch = slots[start:start + m]
             pad = m - len(batch)
@@ -351,9 +367,7 @@ class TsdfVolume:
             cc = self.coords_np[idx]
             self.pool = _integrate_kernel(
                 self.cfg, self.pool, jnp.asarray(idx), jnp.asarray(cc),
-                jnp.asarray(act), jnp.asarray(depth, jnp.float32),
-                jnp.asarray(color, jnp.float32), jnp.asarray(k, jnp.float32),
-                jnp.asarray(r_cw, jnp.float32), jnp.asarray(t_cw, jnp.float32))
+                jnp.asarray(act), depth_j, color_j, k_j, r_j, t_j)
         self.dirty.update(int(s) for s in slots)
 
     def integrate_points(self, pts_w: np.ndarray, colors: np.ndarray,

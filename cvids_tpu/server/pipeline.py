@@ -116,10 +116,13 @@ class CollaborativeServer:
         if info.get("loop") and pkt.image is not None:
             # keep the thumbnail pair of the most recent accepted loop for
             # the match-overlay diagnostic (full frames are dropped by
-            # FreeSpace; the reference plotter likewise keeps small copies)
+            # FreeSpace; the reference plotter likewise keeps small copies).
+            # With pipelined verification the loop belongs to keyframe
+            # info["loop_at"] (usually idx-1), whose thumbnail is stored.
             old = self.thumbs.get(info["loop_with"])
-            if old is not None:
-                self._loop_overlay_pair = (self.thumbs[idx], old)
+            new = self.thumbs.get(info.get("loop_at", idx))
+            if old is not None and new is not None:
+                self._loop_overlay_pair = (new, old)
         if cfg.dense_enabled and pkt.image is not None:
             with self.tracer.span("depth"):
                 self._dense_step(pkt, idx, info)

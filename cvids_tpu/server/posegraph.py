@@ -21,6 +21,7 @@ from __future__ import annotations
 import threading
 import time
 import types
+from collections import deque
 
 from dataclasses import dataclass, field
 
@@ -192,6 +193,18 @@ class CollaborativePoseGraph:
         self._rng_key = jax.random.PRNGKey(0)
         self.last_loop: dict | None = None
         self._chain_cache: dict = {}
+        # in-flight loop-verification cascades (pipelined ingest): each entry
+        # holds the DISPATCHED device results of one match/F-RANSAC/PnP
+        # cascade; the host consumes it one ingest step later, so the device
+        # computes the cascade while the next keyframe's host-side ingest
+        # runs. Mirrors the reference's asynchronous keyframe-queue loop
+        # thread (`server_pose_graph.cpp:16` process() consumes a queue
+        # filled by the ROS callbacks) — detection may land a keyframe late,
+        # never on a stale store (guarded by `_lock`).
+        self._pending: deque = deque()
+        # stage-1 pipeline slot: the newest keyframe's dispatched BoW query
+        # (idx, cid, cand_idx, cand_score device handles), gated next step
+        self._pending_q: tuple | None = None
         # device-side copies of per-keyframe feature arrays (immutable once
         # stored): loop verification re-reads the OLD keyframe's full-image
         # features on every candidate, and re-uploading them per candidate
@@ -243,10 +256,13 @@ class CollaborativePoseGraph:
                 self._opt_running.clear()
 
     def flush(self, final: bool = True):
-        """Wait for any in-flight background solve and quiesce the periodic
-        worker (it resumes on the next ingest-triggered wake); optionally run
-        one final synchronous solve so queries after a run see fully
-        optimized state with no concurrent writeback."""
+        """Resolve in-flight loop verifications, wait for any background
+        solve and quiesce the periodic worker (it resumes on the next
+        ingest-triggered wake); optionally run one final synchronous solve so
+        queries after a run see fully optimized state with no concurrent
+        writeback."""
+        with self._lock:
+            self._resolve_inflight()
         self._opt_paused = True
         if self._opt_thread is not None:
             while self._opt_wake.is_set() or self._opt_running.is_set():
@@ -337,28 +353,19 @@ class CollaborativePoseGraph:
                 vec, cid, cfg.exclude_recent)
 
         info = {"index": idx, "loop": False, "aligned_event": False}
-        cands = self._select_loop_candidates(idx, cid, cand_idx, cand_score)
-        if not cands and cfg.covis_check and self.clients[cid].aligned:
-            covis = self._covisibility_candidate(idx, cid)
-            cands = [] if covis is None else [covis]
-        for old in cands[:cfg.max_loop_candidates]:
-            edge = self._find_connection(idx, old)
-            if edge is None:
-                continue
-            info["loop"] = True
-            info["loop_with"] = old
-            inter = self.store.client[old] != cid
-            aligned_new = self.clients[cid].aligned
-            aligned_old = self.clients[self.store.client[old]].aligned
-            if inter and aligned_old and not aligned_new:
-                self._align_submap(cid, old, idx, edge, flip=False)
-                info["aligned_event"] = True
-            elif inter and aligned_new and not aligned_old:
-                self._align_submap(int(self.store.client[old]), old, idx,
-                                   edge, flip=True)
-                info["aligned_event"] = True
-            self._record_loop(old, idx, edge, bool(inter))
-            break
+        # two-stage pipelined loop detection: consume the in-flight cascade
+        # result first (dispatched ~2 ingest steps ago — the device has long
+        # worked through it), then gate the PREVIOUS keyframe's query result
+        # and dispatch its cascade, then enqueue this keyframe's query for
+        # the next step. The host never blocks on device work dispatched in
+        # the same step; detection lands 1-2 keyframes late, which mirrors
+        # the reference's asynchronous keyframe-queue loop thread
+        # (`server_pose_graph.cpp:16`) and is resolved by flush()/optimize().
+        # Draining before the candidate gate also keeps
+        # `_covisibility_candidate` reading post-alignment world poses.
+        self._drain_pending(info)
+        self._process_pending_query(info)
+        self._pending_q = (idx, cid, cand_idx, cand_score)
 
         self._since_optimize += 1
         self._opt_paused = False         # new ingest re-arms the periodic worker
@@ -400,6 +407,10 @@ class CollaborativePoseGraph:
         accepted loop still passed the exact same verification — and
         recovers recall when a flat BoW score ranks a wrong frame oldest)."""
         cfg = self.cfg
+        # one host transfer for the whole top-k (zip over device arrays
+        # would sync per element)
+        cand_idx = np.asarray(cand_idx)
+        cand_score = np.asarray(cand_score)
         qualifying = []
         for k, s in zip(cand_idx, cand_score):
             if s <= 0:
@@ -418,35 +429,117 @@ class CollaborativePoseGraph:
         top = max(s for _, s in qualifying)
         return sorted(k for k, s in qualifying if s >= cfg.bow_rel_gate * top)
 
-    def _find_connection(self, j: int, i: int):
-        """Verify candidate loop (new j, old i). Returns dict with the
-        measured relative pose T_bi<-bj, or None."""
+    def _feats(self, k):
+        """Device copies of keyframe k's feature arrays (cached)."""
+        st = self.store
+        hit = self._dev_feats.get(k)
+        if hit is None:
+            hit = (jnp.asarray(st.ext_desc[k]), jnp.asarray(st.ext_valid[k]),
+                   jnp.asarray(st.ext_uv[k]), jnp.asarray(st.win_desc[k]),
+                   jnp.asarray(st.win_valid[k]), jnp.asarray(st.win_uv[k]))
+        return hit
+
+    def _dispatch_verify(self, j: int, cands: list) -> None:
+        """Dispatch the match/F-RANSAC/PnP device cascade for new keyframe j
+        against its best candidate (no host block — the result is consumed by
+        `_drain_pending` one ingest step later, or at flush)."""
         cfg = self.cfg
         st = self.store
+        i = int(cands[0])
         cj = self.clients[int(st.client[j])]
-        ci = self.clients[int(st.client[i])]
         # window 3-D points of j, expressed in j's camera frame
         pts_l = st.win_pts3d[j]
         r_wb = quat_to_matrix_np(st.vio_q[j])
         pts_b = (pts_l - st.vio_p[j]) @ r_wb  # world->body (row-vector form)
         pts_cam = (pts_b - cj.p_bc) @ np.asarray(cj.r_cb).T
-
         self._rng_key, key = jax.random.split(self._rng_key)
-
-        def feats(k):
-            hit = self._dev_feats.get(k)
-            if hit is None:
-                hit = (jnp.asarray(st.ext_desc[k]), jnp.asarray(st.ext_valid[k]),
-                       jnp.asarray(st.ext_uv[k]), jnp.asarray(st.win_desc[k]),
-                       jnp.asarray(st.win_valid[k]), jnp.asarray(st.win_uv[k]))
-            return hit
-
-        _, _, _, wdj, wvj, wuj = feats(j)
-        edi, evi, eui, _, _, _ = feats(i)
+        _, _, _, wdj, wvj, wuj = self._feats(j)
+        edi, evi, eui, _, _, _ = self._feats(i)
         res, m, keep = _match_and_pnp(
             wdj, wvj, wuj, jnp.asarray(pts_cam, jnp.float32),
             edi, evi, eui, key,
             cfg.pnp_thresh, cfg.min_loop_matches)
+        self._pending.append({"j": j, "i": i, "rest": list(cands[1:]),
+                              "res": res, "m": m, "keep": keep})
+
+    def _process_pending_query(self, info: dict | None = None) -> None:
+        """Stage 1 of the pipelined loop detection: gate the previous
+        keyframe's BoW query result (one host transfer) and dispatch the
+        verification cascade for its best candidate."""
+        if self._pending_q is None:
+            return
+        qidx, qcid, cand_idx, cand_score = self._pending_q
+        self._pending_q = None
+        cfg = self.cfg
+        cands = self._select_loop_candidates(qidx, qcid, cand_idx, cand_score)
+        if not cands and cfg.covis_check and self.clients[qcid].aligned:
+            covis = self._covisibility_candidate(qidx, qcid)
+            cands = [] if covis is None else [covis]
+        if cands:
+            self._dispatch_verify(qidx, list(cands[:cfg.max_loop_candidates]))
+
+    def _resolve_inflight(self, info: dict | None = None) -> None:
+        """Synchronously resolve both pipeline stages (called under `_lock`
+        by flush/optimize/checkpoint before anything reads 'final' state)."""
+        self._process_pending_query(info)
+        self._drain_pending(info, block_all=True)
+
+    def _drain_pending(self, info: dict | None = None,
+                       block_all: bool = False) -> None:
+        """Consume in-flight verification cascades (called under `_lock`).
+
+        Per ingest step one result is consumed and — when it failed with
+        candidates remaining — the next candidate's cascade is re-dispatched,
+        keeping the pipeline depth bounded; `block_all=True` (flush/optimize/
+        checkpoint) resolves everything synchronously."""
+        while self._pending:
+            pv = self._pending.popleft()
+            edge = self._finish_connection(pv)
+            if edge is None:
+                if pv["rest"]:
+                    self._dispatch_verify(pv["j"], pv["rest"])
+                if block_all:
+                    continue
+                return
+            self._accept_loop(pv["j"], pv["i"], edge, info)
+            if not block_all:
+                return
+
+    def _accept_loop(self, j: int, i: int, edge: dict,
+                     info: dict | None = None) -> None:
+        """Accepted loop (new j, old i): align submaps if one side is still
+        unaligned, then record the 4-DoF edge — identical semantics to the
+        pre-pipelined inline path (`server_pose_graph.cpp:1014-1062`)."""
+        cid = int(self.store.client[j])
+        ocid = int(self.store.client[i])
+        inter = ocid != cid
+        aligned_new = self.clients[cid].aligned
+        aligned_old = self.clients[ocid].aligned
+        aligned_event = False
+        if inter and aligned_old and not aligned_new:
+            self._align_submap(cid, i, j, edge, flip=False)
+            aligned_event = True
+        elif inter and aligned_new and not aligned_old:
+            self._align_submap(ocid, i, j, edge, flip=True)
+            aligned_event = True
+        self._record_loop(i, j, edge, bool(inter))
+        if info is not None:
+            info["loop"] = True
+            info["loop_with"] = i
+            info["loop_at"] = j
+            if aligned_event:
+                info["aligned_event"] = True
+
+    def _finish_connection(self, pv: dict):
+        """Host half of loop verification: fetch the dispatched cascade
+        result, convert camera-frame relative pose to body frames, apply the
+        acceptance gates. Returns the edge dict or None."""
+        cfg = self.cfg
+        st = self.store
+        j, i = pv["j"], pv["i"]
+        res, m, keep = pv["res"], pv["m"], pv["keep"]
+        cj = self.clients[int(st.client[j])]
+        ci = self.clients[int(st.client[i])]
         if not bool(res.ok):
             self._fc_fail = ("pnp", int(res.num_inliers))
             return None
@@ -672,6 +765,7 @@ class CollaborativePoseGraph:
         the worker retries on its next wake-up)."""
         t0 = time.perf_counter()
         with self._lock:
+            self._resolve_inflight()
             snap = self._snapshot()
         if snap is None:
             return True

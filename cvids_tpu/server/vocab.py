@@ -296,9 +296,14 @@ class BowDatabase:
     def query_and_add(self, vec, client_id: int,
                       exclude_recent: int = 10, top_k: int = 4):
         """Query (excluding the frame being added) then insert — one BoW
-        vector shared by both halves of the per-keyframe ingest step."""
+        vector shared by both halves of the per-keyframe ingest step.
+        Returns DEVICE handles (the ingest pipeline defers the fetch one
+        keyframe); np.asarray them to block."""
         vec = jnp.asarray(vec)
-        idx, s = self.query(vec, client_id, exclude_recent, top_k)
+        s, idx = _db_topk_masked(
+            self.vectors, vec, self.client_dev,
+            np.int32(self.count), np.int32(client_id),
+            np.int32(max(self.count - exclude_recent, 0)), top_k)
         self.add(vec, client_id)
         return idx, s
 
@@ -650,7 +655,10 @@ class SparseBowDatabase:
             np.int32(max(self.count - exclude_recent, 0)),
             self.tree.levels, self.f, self.tree.num_words, top_k)
         self._insert(q_ids, q_vals, client_id)
-        return np.asarray(order), np.asarray(s)
+        # DEVICE handles, not numpy: the ingest pipeline defers the fetch one
+        # keyframe so the query computes while the next keyframe's host-side
+        # ingest runs (np.asarray them to block)
+        return order, s
 
 
 def synthesize_tree_vocabulary(k: int = 10, levels: int = 5,

@@ -27,6 +27,10 @@ _LOOP_FIELDS = ["loop_i", "loop_j", "loop_t", "loop_yaw", "loop_inter",
 
 
 def save_server(path: str, server) -> None:
+    # resolve in-flight loop verifications and quiesce the background solver
+    # so the snapshot is complete and untorn (a pending cascade dropped at
+    # save time would make a resumed run diverge from an uninterrupted one)
+    server.flush(final=False)
     arrays = {}
     for f in _STORE_FIELDS:
         arrays[f"store_{f}"] = getattr(server.store, f)

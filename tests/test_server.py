@@ -261,3 +261,41 @@ def test_async_optimize_matches_sync(world):
     finally:
         server.close()
     assert server._opt_thread is None
+
+
+def test_pipelined_detection_matches_synchronous(world):
+    """The two-stage ingest pipeline (query gated one keyframe late, cascade
+    consumed another step later) must accept exactly the loops the
+    synchronous path accepts — forced-sync = resolving both in-flight stages
+    after every keyframe via flush(final=False)."""
+    landmarks, descs, voc = world
+    agents = [
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.5),
+                            drift_yaw_rate=0.0005, drift_t_rate=0.002),
+        multiagent.AgentSim(Trajectory.circle(radius=5.0, omega=0.5,
+                                              phase=1.2),
+                            yaw_offset=0.3,
+                            t_offset=np.array([1.0, -0.5, 0.1])),
+    ]
+    packets, _ = multiagent.generate_packets(
+        agents, landmarks, descs, duration=24.0, kf_rate=1.0, max_feats=60)
+
+    def run(sync: bool):
+        server = posegraph.CollaborativePoseGraph(voc, small_config())
+        for _, _, _, pkt in packets:
+            server.add_keyframe(pkt)
+            if sync:
+                server.flush(final=False)   # resolve both pipeline stages
+        server.flush(final=False)
+        edges = {(int(i), int(j)) for i, j in
+                 zip(server.loop_i[:server.loop_count],
+                     server.loop_j[:server.loop_count])}
+        aligned = [c.aligned for c in server.clients[:2]]
+        server.close()
+        return edges, aligned
+
+    edges_sync, aligned_sync = run(sync=True)
+    edges_pipe, aligned_pipe = run(sync=False)
+    assert aligned_sync == aligned_pipe == [True, True]
+    assert len(edges_sync) > 5
+    assert edges_sync == edges_pipe
